@@ -1,0 +1,193 @@
+"""PPO training CLI — `python -m madrona_basketball_tpu.cli [...]`.
+
+The counterpart of `python3 scripts/ppo.py` (scripts/ppo.py:24-57, 220-371)
+with the same flags and defaults (argparse instead of tyro — not in the
+image).  The training loop itself runs fully on device
+(ppo/train.py); this driver owns seeding, logging (console + TensorBoard),
+world-0 trajectory npz recording for the viewer, and checkpointing.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import jax
+import numpy as np
+
+from . import constants as C
+from .config import SimConfig
+from .models.agent import init_agent
+from .ppo.hparams import PPOParams
+from .ppo.train import init_train_state, make_train_iteration
+from .utils.checkpoint import checkpoint_path, load_agent, save_agent
+from .utils.timers import PPOTimer
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="TPU-native PPO trainer")
+    p.add_argument("--seed", type=int, default=321)
+    p.add_argument("--model-name", type=str, default="Model")
+    p.add_argument("--trainee-idx", type=int, default=1)
+    p.add_argument("--trainee-checkpoint", type=str, default=None)
+    p.add_argument("--frozen-checkpoint", type=str, default=None)
+    p.add_argument("--num-iterations", type=int, default=100_000)
+    p.add_argument("--num-envs", type=int, default=8192)
+    p.add_argument("--num-rollout-steps", type=int, default=32)
+    p.add_argument("--learning-rate", type=float, default=3e-4)
+    p.add_argument("--gamma", type=float, default=0.998)
+    p.add_argument("--gae-lambda", type=float, default=0.95)
+    p.add_argument("--num-minibatches", type=int, default=4)
+    p.add_argument("--update-epochs", type=int, default=4)
+    p.add_argument("--clip-coef", type=float, default=0.2)
+    p.add_argument("--ent-coef", type=float, default=0.01)
+    p.add_argument("--vf-coef", type=float, default=1.0)
+    p.add_argument("--max-grad-norm", type=float, default=1.0)
+    p.add_argument("--log-every-n-iterations", type=int, default=100)
+    p.add_argument("--save-model-every-n-iterations", type=int, default=100)
+    p.add_argument("--viewer", action="store_true", default=False,
+                   help="record world-0 episode npz logs for the viewer")
+    p.add_argument("--no-tag-mode", action="store_true", default=False)
+    p.add_argument("--full-game", action="store_true", default=False)
+    p.add_argument("--tensorboard", action="store_true", default=False)
+    return p
+
+
+class EpisodeRecorder:
+    """Host-side assembly of world-0 per-step logs into episode npz files —
+    the file-drop IPC the live viewer watches (scripts/ppo.py:93-122,
+    scripts/viewer.py:1475-1510)."""
+
+    def __init__(self, log_folder: str, hoop_pos: np.ndarray,
+                 every_n: int = 100):
+        self.log_folder = log_folder
+        self.hoop_pos = hoop_pos
+        self.every_n = every_n
+        self.waiting = False
+        self.recording = False
+        self.steps: list[dict] = []
+        os.makedirs(log_folder, exist_ok=True)
+
+    def maybe_arm(self, iteration: int):
+        if iteration % self.every_n == 0:
+            self.waiting = True
+
+    def feed(self, w0: dict, iteration: int):
+        """w0: dict of (T, 1, ...) arrays for one rollout."""
+        if not (self.waiting or self.recording):
+            return
+        T = w0["done"].shape[0]
+        for t in range(T):
+            done = float(w0["done"][t, 0]) > 0.5
+            if self.recording:
+                self.steps.append({k: np.asarray(v[t]) for k, v in w0.items()})
+                if done:
+                    self._save(iteration)
+                    self.recording = False
+                    return
+            elif self.waiting and done:
+                self.waiting = False
+                self.recording = True
+                self.steps = []
+
+    def _save(self, iteration: int):
+        if not self.steps:
+            return
+        out = {k: np.stack([s[k] for s in self.steps])
+               for k in self.steps[0]}
+        out["hoop_pos"] = self.hoop_pos
+        path = os.path.join(self.log_folder,
+                            f"iter_{iteration}_episode.npz")
+        np.savez_compressed(path, **out)
+        print(f"Episode trajectory saved to {path}")
+        self.steps = []
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    model_name = args.model_name or \
+        f"MadronaBasketball__{args.seed}__{int(time.time())}"
+
+    cfg = SimConfig(one_on_one=not args.full_game,
+                    tag_mode=not args.no_tag_mode and not args.full_game)
+    hp = PPOParams(
+        num_envs=args.num_envs,
+        num_rollout_steps=args.num_rollout_steps,
+        learning_rate=args.learning_rate,
+        gamma=args.gamma, gae_lambda=args.gae_lambda,
+        num_minibatches=args.num_minibatches,
+        update_epochs=args.update_epochs,
+        clip_coef=args.clip_coef, ent_coef=args.ent_coef,
+        vf_coef=args.vf_coef, max_grad_norm=args.max_grad_norm,
+        trainee_idx=args.trainee_idx,
+        use_frozen=args.frozen_checkpoint is not None,
+        record_world0=args.viewer,
+    )
+
+    key = jax.random.PRNGKey(args.seed)
+    net, template = init_agent(jax.random.PRNGKey(0))
+    agent = load_agent(args.trainee_checkpoint, template) \
+        if args.trainee_checkpoint else None
+    frozen = load_agent(args.frozen_checkpoint, template) \
+        if args.frozen_checkpoint else None
+
+    print("🎯 TRAINING CONFIGURATION:")
+    print(f"   Trainee Agent Index: {hp.trainee_idx}")
+    print(f"   Frozen Checkpoint: {args.frozen_checkpoint}")
+    print(f"   Model: {model_name}  Envs: {hp.num_envs}  "
+          f"Iters: {args.num_iterations}")
+    print(f"   Devices: {jax.devices()}")
+
+    ts = init_train_state(cfg, hp, net, key, agent=agent, frozen=frozen)
+    train_iteration = make_train_iteration(cfg, hp, net)
+
+    writer = None
+    if args.tensorboard:
+        from tensorboardX import SummaryWriter
+        writer = SummaryWriter(f"runs/{model_name}")
+
+    recorder = None
+    if args.viewer:
+        hoop_pos = np.asarray(jax.device_get(ts.env.hoops.pos[0:1]))
+        recorder = EpisodeRecorder(f"logs/{model_name}", hoop_pos,
+                                   every_n=args.log_every_n_iterations)
+
+    timer = PPOTimer()
+    for iteration in range(1, args.num_iterations + 1):
+        timer.start("iter")
+        timer.add_steps(hp.num_envs * hp.num_rollout_steps)
+        ts, metrics = train_iteration(ts)
+        if recorder is not None:
+            recorder.maybe_arm(iteration)
+            w0 = jax.device_get(metrics.pop("world0"))
+            recorder.feed(w0, iteration)
+        elif "world0" in metrics:
+            metrics.pop("world0")
+        if iteration % args.log_every_n_iterations == 0:
+            jax.block_until_ready(ts.agent.params)
+            timer.end("iter")
+            m = {k: float(v) for k, v in metrics.items()}
+            print(f"\nUpdate: {iteration}", end=" ")
+            timer.print()
+            print(f"Mean reward: {m['mean_reward']:.2f}. "
+                  f"Mean episode length: {m['mean_episode_length']:.2f}")
+            if writer is not None:
+                for k, v in m.items():
+                    writer.add_scalar(k, v, iteration)
+            timer.reset()
+        else:
+            timer.end("iter")
+
+        if iteration % args.save_model_every_n_iterations == 0:
+            path = checkpoint_path(model_name, iteration)
+            save_agent(ts.agent, path)
+            print(f"Model {model_name} saved at iteration {iteration}")
+
+    if writer is not None:
+        writer.close()
+    return ts
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,69 @@
+"""Running mean/std observation & value normalization.
+
+Functional port of the reference's `RunningMeanStd` (scripts/agent.py:19-50):
+the same parallel (Chan) merge of batch statistics into running mean/var,
+with clamped normalization.  State lives in a small pytree instead of torch
+buffers.
+
+Numerics note: the reference keeps f64 buffers; TPUs are f32-native, so the
+state is f32 here.  The merge arithmetic is ordered to stay well-conditioned
+(delta-form update); the parity test (tests/test_models.py) checks agreement
+with the actual torch implementation over many batches.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+F32 = jnp.float32
+
+
+@struct.dataclass
+class RMSState:
+    mean: jax.Array   # (dim,) f32
+    var: jax.Array    # (dim,) f32
+    count: jax.Array  # () f32
+
+
+def rms_init(dim: int) -> RMSState:
+    return RMSState(mean=jnp.zeros((dim,), F32),
+                    var=jnp.ones((dim,), F32),
+                    count=jnp.ones((), F32))
+
+
+EPS = 1e-5
+
+
+def rms_normalize(st: RMSState, x: jax.Array, clamp: float = 5.0) -> jax.Array:
+    out = (x - st.mean) * jax.lax.rsqrt(st.var + EPS)
+    if clamp:
+        out = jnp.clip(out, -clamp, clamp)
+    return out
+
+
+def rms_unnormalize(st: RMSState, x: jax.Array,
+                    clamp: float = 5.0) -> jax.Array:
+    if clamp:
+        x = jnp.clip(x, -clamp, clamp)
+    return st.mean + jnp.sqrt(st.var + EPS) * x
+
+
+def rms_update(st: RMSState, x: jax.Array) -> RMSState:
+    """Merge a batch (N, dim) into the running stats (scripts/agent.py:40-50).
+
+    Uses the unbiased batch variance, matching torch.var_mean(unbiased=True).
+    """
+    x = x.reshape(-1, x.shape[-1]).astype(F32)
+    count = jnp.asarray(x.shape[0], F32)
+    mean = jnp.mean(x, axis=0)
+    var = jnp.sum((x - mean) ** 2, axis=0) / jnp.maximum(count - 1.0, 1.0)
+
+    count_ = count + st.count
+    delta = mean - st.mean
+    m = (st.var * st.count + var * count +
+         delta ** 2 * st.count * count / count_)
+    return RMSState(mean=st.mean + delta * count / count_,
+                    var=m / count_,
+                    count=count_)

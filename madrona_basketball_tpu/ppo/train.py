@@ -1,0 +1,321 @@
+"""On-device PPO: rollout, GAE, and update as one jitted iteration.
+
+Replaces the reference's host-loop trainer (scripts/ppo.py:60-216) with a
+fully fused XLA program: the 32-step rollout is a `lax.scan` whose body is
+policy forward + the vectorized env step (no host round-trips — the
+reference's per-step Python->C++ crossing is the anti-pattern this design
+removes), GAE is a reverse scan, and the 4-epoch x 4-minibatch Adam update
+is a nested scan over device-side permutations.
+
+Faithfully reproduced reference contracts:
+  * `env.reset()` is called at the START of every iteration and only pulses
+    the Reset flag — done=1/cur_step=0 bookkeeping without repositioning
+    (scripts/ppo.py:64, scripts/env.py:178-185, SURVEY §3.3).
+  * Values are stored in normalized space, un-normalized for GAE, then the
+    normalizers are updated and advantages/values/returns re-normalized in
+    place (scripts/ppo.py:144-177).
+  * Adam(lr=3e-4, eps=1e-8) after global-norm clipping at 1.0
+    (scripts/ppo.py:301, 214).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from .. import constants as C
+from .. import engine
+from ..config import SimConfig
+from ..models import agent as agent_lib
+from ..models.agent import ActorCritic, AgentParams
+from ..models.normalize import rms_normalize, rms_update
+from ..ops.gae import compute_gae
+from ..state import State
+from .hparams import PPOParams
+
+F32 = jnp.float32
+I32 = jnp.int32
+
+
+@struct.dataclass
+class EpisodeStats:
+    """Device-side port of PPOStats + AverageMeter(window=100)
+    (scripts/ppo_stats.py:8-50, 153-172)."""
+
+    curr_rewards: jax.Array      # (N,)
+    episode_lengths: jax.Array   # (N,)
+    mean_reward: jax.Array       # ()
+    reward_size: jax.Array       # ()
+    mean_length: jax.Array       # ()
+    length_size: jax.Array       # ()
+
+
+def init_stats(num_envs: int) -> EpisodeStats:
+    z = jnp.zeros((), F32)
+    return EpisodeStats(curr_rewards=jnp.zeros((num_envs,), F32),
+                        episode_lengths=jnp.zeros((num_envs,), F32),
+                        mean_reward=z, reward_size=z, mean_length=z,
+                        length_size=z)
+
+
+def _meter_update(mean, cur_size, values_sum, count, max_size=100.0):
+    """AverageMeter.update with a masked batch (scripts/ppo_stats.py:160-167)."""
+    has = count > 0
+    new_mean = jnp.where(has, values_sum / jnp.maximum(count, 1.0), 0.0)
+    size = jnp.minimum(count, max_size)
+    old_size = jnp.minimum(max_size - size, cur_size)
+    total = old_size + size
+    merged = jnp.where(has, (mean * old_size + new_mean * size) /
+                       jnp.maximum(total, 1.0), mean)
+    return merged, jnp.where(has, total, cur_size)
+
+
+def _stats_step(st: EpisodeStats, rew, done) -> EpisodeStats:
+    curr = st.curr_rewards + rew
+    lens = st.episode_lengths + 1.0
+    count = jnp.sum(done)
+    r_mean, r_size = _meter_update(st.mean_reward, st.reward_size,
+                                   jnp.sum(curr * done), count)
+    l_mean, l_size = _meter_update(st.mean_length, st.length_size,
+                                   jnp.sum(lens * done), count)
+    return EpisodeStats(curr_rewards=curr * (1.0 - done),
+                        episode_lengths=lens * (1.0 - done),
+                        mean_reward=r_mean, reward_size=r_size,
+                        mean_length=l_mean, length_size=l_size)
+
+
+@struct.dataclass
+class TrainState:
+    agent: AgentParams
+    frozen: AgentParams       # opponent params (ignored unless hp.use_frozen)
+    opt_state: Any
+    env: State                # batched world state
+    stats: EpisodeStats
+    key: jax.Array
+    iteration: jax.Array      # () i32
+
+
+def make_optimizer(hp: PPOParams) -> optax.GradientTransformation:
+    return optax.chain(
+        optax.clip_by_global_norm(hp.max_grad_norm),
+        optax.adam(hp.learning_rate, eps=1e-8),
+    )
+
+
+def init_train_state(cfg: SimConfig, hp: PPOParams, net: ActorCritic,
+                     key: jax.Array,
+                     agent: Optional[AgentParams] = None,
+                     frozen: Optional[AgentParams] = None) -> TrainState:
+    k_env, k_agent, k_frozen, k_run = jax.random.split(key, 4)
+    if agent is None:
+        _, agent = agent_lib.init_agent(k_agent)
+    if frozen is None:
+        _, frozen = agent_lib.init_agent(k_frozen)
+    env = engine.init_batch(cfg, k_env, hp.num_envs)
+    tx = make_optimizer(hp)
+    return TrainState(agent=agent, frozen=frozen,
+                      opt_state=tx.init(agent.params), env=env,
+                      stats=init_stats(hp.num_envs), key=k_run,
+                      iteration=jnp.zeros((), I32))
+
+
+def make_train_iteration(cfg: SimConfig, hp: PPOParams, net: ActorCritic):
+    """Build the jitted `train_iteration(ts) -> (ts, metrics)`."""
+
+    ti = hp.trainee_idx
+    fi = 1 - ti
+    T = hp.num_rollout_steps
+    vstep = jax.vmap(lambda w: engine.step(cfg, w))
+    tx = make_optimizer(hp)
+
+    def write_actions(env: State, trainee_actions, frozen_actions):
+        acts = env.agents.action
+        acts = acts.at[:, ti].set(trainee_actions.astype(I32))
+        if hp.use_frozen:
+            acts = acts.at[:, fi].set(frozen_actions.astype(I32))
+        return env.replace(agents=env.agents.replace(action=acts))
+
+    def frozen_forward(frozen: AgentParams, env: State, key):
+        if not hp.use_frozen:
+            return None
+        obs = env.agents.obs[:, fi]
+        actions, _, _ = agent_lib.forward(net, frozen, obs, key)
+        return actions
+
+    def reset_pulse(agent, frozen, env: State, key):
+        """scripts/env.py:178-185: Reset flags high for exactly one step."""
+        env = env.replace(agents=env.agents.replace(
+            reset=jnp.ones_like(env.agents.reset)))
+        fa = frozen_forward(frozen, env, key)
+        env = write_actions(env, jnp.zeros((hp.num_envs, 6), I32), fa)
+        env = vstep(env)
+        env = env.replace(agents=env.agents.replace(
+            reset=jnp.zeros_like(env.agents.reset)))
+        return env
+
+    def rollout(agent, frozen, env, stats, key):
+        key, k0 = jax.random.split(key)
+        env = reset_pulse(agent, frozen, env, k0)
+        obs0 = env.agents.obs[:, ti]
+
+        def body(carry, _):
+            env, obs, stats, key = carry
+            key, k1, k2 = jax.random.split(key, 3)
+            actions, logp, value = agent_lib.forward(net, agent, obs, k1)
+            fa = frozen_forward(frozen, env, k2)
+            env = write_actions(env, actions, fa)
+            env = vstep(env)
+            obs_ = env.agents.obs[:, ti]
+            rew = env.agents.reward[:, ti]
+            done = env.agents.done[:, ti]
+            stats = _stats_step(stats, rew, done)
+            out = (obs, actions, value, logp, 1.0 - done, rew)
+            if hp.record_world0:
+                out = out + (_world0_log(env, done),)
+            return (env, obs_, stats, key), out
+
+        (env, last_obs, stats, key), traj = jax.lax.scan(
+            body, (env, obs0, stats, key), None, length=T)
+        if hp.record_world0:
+            obs_b, act_b, val_b, logp_b, notdone_b, rew_b, w0 = traj
+        else:
+            obs_b, act_b, val_b, logp_b, notdone_b, rew_b = traj
+            w0 = None
+        next_value = agent_lib.evaluate(net, agent, last_obs)
+        return env, stats, key, dict(
+            obs=obs_b, actions=act_b, values=val_b, log_probs=logp_b,
+            not_dones=notdone_b, rewards=rew_b, next_value=next_value), w0
+
+    def compute_advantages(agent: AgentParams, buf):
+        """scripts/ppo.py:144-177, including in-place re-normalization."""
+        values = agent_lib.unnorm_value(agent, buf["values"])
+        next_value = agent_lib.unnorm_value(agent, buf["next_value"])
+        advantages, returns = compute_gae(
+            buf["rewards"], values, buf["not_dones"], next_value,
+            hp.gamma, hp.gae_lambda)
+
+        obs_rms = rms_update(agent.obs_rms,
+                             buf["obs"].reshape(-1, buf["obs"].shape[-1]))
+        value_rms = rms_update(agent.value_rms, values.reshape(-1, 1))
+        value_rms = rms_update(value_rms, returns.reshape(-1, 1))
+        agent = agent.replace(obs_rms=obs_rms, value_rms=value_rms)
+
+        mu = advantages.mean()
+        sigma = advantages.std(ddof=1)  # torch .std() is unbiased
+        advantages = (advantages - mu) / (sigma + 1e-8)
+        values_n = rms_normalize(value_rms, values.reshape(-1, 1),
+                                 clamp=5.0).reshape(values.shape)
+        returns_n = rms_normalize(value_rms, returns.reshape(-1, 1),
+                                  clamp=5.0).reshape(returns.shape)
+        return agent, advantages, values_n, returns_n
+
+    def loss_fn(params, agent: AgentParams, o, a, lp, v, adv, ret):
+        """Clipped PPO surrogate + clipped value loss + entropy
+        (scripts/ppo.py:192-210)."""
+        lp_, ent, v_ = agent_lib.get_stats(net, agent.replace(params=params),
+                                           o, a)
+        ratio = jnp.exp(lp_ - lp)
+        surr1 = -adv * ratio
+        surr2 = -adv * jnp.clip(ratio, 1 - hp.clip_coef, 1 + hp.clip_coef)
+        pg_loss = jnp.maximum(surr1, surr2).mean()
+
+        vf_loss = (v_ - ret) ** 2
+        v_clip = v + jnp.clip(v_ - v, -hp.clip_coef, hp.clip_coef)
+        vf_loss_clip = (v_clip - ret) ** 2
+        if hp.clip_vloss:
+            c_loss = 0.5 * jnp.maximum(vf_loss, vf_loss_clip).mean()
+        else:
+            c_loss = 0.5 * vf_loss.mean()
+        entropy_loss = -ent.mean()
+
+        loss = (pg_loss + c_loss * hp.vf_coef + entropy_loss * hp.ent_coef)
+        return loss, (pg_loss, c_loss, entropy_loss)
+
+    grad_fn = jax.grad(loss_fn, has_aux=True)
+
+    def update_policy(agent: AgentParams, opt_state, buf, advantages,
+                      values_n, returns_n, key):
+        """4 epochs x 4 shuffled minibatches (scripts/ppo.py:180-216)."""
+        total = hp.rollout_batch_size
+        obs = buf["obs"].reshape(total, -1)
+        acts = buf["actions"].reshape(total, -1)
+        lps = buf["log_probs"].reshape(total)
+        vals = values_n.reshape(total)
+        advs = advantages.reshape(total)
+        rets = returns_n.reshape(total)
+
+        def epoch_body(carry, ekey):
+            params, opt_state = carry
+            perm = jax.random.permutation(ekey, total)
+            mb_idx = perm.reshape(hp.num_minibatches, hp.minibatch_size)
+
+            def mb_body(carry, idx):
+                params, opt_state = carry
+                grads, _aux = grad_fn(params, agent, obs[idx], acts[idx],
+                                      lps[idx], vals[idx], advs[idx],
+                                      rets[idx])
+                updates, opt_state = tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state), None
+
+            (params, opt_state), _ = jax.lax.scan(
+                mb_body, (params, opt_state), mb_idx)
+            return (params, opt_state), None
+
+        ekeys = jax.random.split(key, hp.update_epochs)
+        (params, opt_state), _ = jax.lax.scan(
+            epoch_body, (agent.params, opt_state), ekeys)
+        return agent.replace(params=params), opt_state
+
+    @jax.jit
+    def train_iteration(ts: TrainState):
+        key, k_roll, k_upd = jax.random.split(ts.key, 3)
+        env, stats, _k, buf, w0 = rollout(ts.agent, ts.frozen, ts.env,
+                                          ts.stats, k_roll)
+        agent, advantages, values_n, returns_n = compute_advantages(ts.agent,
+                                                                    buf)
+        agent, opt_state = update_policy(agent, ts.opt_state, buf,
+                                         advantages, values_n, returns_n,
+                                         k_upd)
+        metrics = {
+            "mean_reward": stats.mean_reward,
+            "mean_episode_length": stats.mean_length,
+            "reward_window": stats.reward_size,
+            "adv_abs_mean": jnp.abs(advantages).mean(),
+            "value_mean": values_n.mean(),
+        }
+        if hp.record_world0:
+            metrics["world0"] = w0
+        ts = ts.replace(agent=agent, opt_state=opt_state, env=env,
+                        stats=stats, key=key, iteration=ts.iteration + 1)
+        return ts, metrics
+
+    return train_iteration
+
+
+def _world0_log(env: State, done) -> dict:
+    """World-0 per-step telemetry matching the reference's npz trajectory
+    schema (scripts/ppo.py:93-105); shapes carry the leading world dim of 1."""
+    a, b = env.agents, env.ball
+    from ..export import game_state_tensor
+    return {
+        "agent_pos": a.pos[0:1],
+        "ball_pos": b.pos[0:1][:, None, :],
+        "ball_vel": b.vel[0:1][:, None, :],
+        "orientation": a.orient[0:1],
+        "ball_physics": jnp.stack(
+            [b.in_flight, b.last_touched_agent, b.last_touched_team,
+             b.shot_by_agent, b.shot_by_team, b.shot_point_value,
+             b.shot_going_in], axis=-1)[0:1][:, None, :],
+        "agent_possession": jnp.stack(
+            [a.has_ball, a.held_ball_id, a.points_worth], axis=-1)[0:1],
+        "game_state": game_state_tensor(env)[0:1],
+        "rewards": a.reward[0:1],
+        "actions": a.action[0:1],
+        "done": done[0:1],
+    }

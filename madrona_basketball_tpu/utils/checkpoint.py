@@ -1,0 +1,57 @@
+"""Checkpointing.
+
+Two levels, extending the reference's contract:
+  * Agent checkpoints — network params + both normalizer states, saved as a
+    flax-msgpack file under `checkpoints/{model}/{model}_{iter}.ckpt`,
+    mirroring the reference's torch.save naming scheme
+    (scripts/ppo.py:337-350); the self-play league's state *is* this naming
+    scheme (scripts/self_play.py:116-120).
+  * Full train-state checkpoints via Orbax (params + optimizer + env state +
+    iteration) — the reference cannot resume optimization (SURVEY §5); this
+    can.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+from flax import serialization
+
+from ..models.agent import AgentParams, init_agent
+
+
+def save_agent(agent: AgentParams, path: str) -> str:
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(serialization.to_bytes(jax.device_get(agent)))
+    return path
+
+
+def load_agent(path: str, template: Optional[AgentParams] = None
+               ) -> AgentParams:
+    if template is None:
+        _, template = init_agent(jax.random.PRNGKey(0))
+    with open(path, "rb") as f:
+        return serialization.from_bytes(template, f.read())
+
+
+def checkpoint_path(model_name: str, iteration: int,
+                    root: str = "checkpoints") -> str:
+    return os.path.join(root, model_name, f"{model_name}_{iteration}.ckpt")
+
+
+# ---- full train-state checkpoints (Orbax) ----
+
+def save_train_state(ts, path: str):
+    import orbax.checkpoint as ocp
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.abspath(path), jax.device_get(ts), force=True)
+    ckptr.wait_until_finished()
+
+
+def restore_train_state(template, path: str):
+    import orbax.checkpoint as ocp
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(os.path.abspath(path), template)

@@ -1,0 +1,47 @@
+"""Wall-clock phase timers + episode stats printing.
+
+Port of PPOTimer (scripts/ppo_stats.py:53-150) with the same phase taxonomy
+(iter / rollout / sim / inference / update) and FPS getters.  On TPU the
+rollout+update is one fused device program, so `sim`/`inference` sub-phases
+only exist when stepping through the host-loop env; the fused path reports
+`iter`/`rollout`/`update` around `jax.block_until_ready` fences.
+"""
+
+from __future__ import annotations
+
+from time import perf_counter
+
+
+class PPOTimer:
+    PHASES = ("iter", "rollout", "sim", "inference", "update")
+
+    def __init__(self):
+        self.global_step = 0
+        self.reset()
+        self._starts = {}
+
+    def reset(self):
+        self.t = {p: 0.0 for p in self.PHASES}
+        self.iter_step = 0
+
+    def start(self, phase: str):
+        self._starts[phase] = perf_counter()
+
+    def end(self, phase: str):
+        start = self._starts.pop(phase, None)
+        assert start is not None, f"{phase} start not set"
+        self.t[phase] += perf_counter() - start
+
+    def add_steps(self, steps: int):
+        self.iter_step += steps
+        self.global_step += steps
+
+    def fps(self, phase: str) -> int:
+        el = self.t[phase]
+        return int(self.iter_step / el) if el > 0 else 0
+
+    def print(self):
+        print(f"Took {self.t['iter']:.2f} seconds. "
+              f"FPS: {self.fps('iter')}. Global {self.global_step:_}")
+        print(f"Rollout: {self.t['rollout']:.2f}s, "
+              f"Update: {self.t['update']:.2f}s")
