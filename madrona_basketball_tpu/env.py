@@ -131,6 +131,14 @@ class BasketballEnv:
         self.first_reset_done = True
         return out
 
+    def trigger_reset(self, world_idx: int):
+        """Set the advisory Reset flag for one world
+        (Manager::triggerReset, src/mgr.cpp:297-311): next step's tick marks
+        done=1 / cur_step=0 for that world's agents."""
+        flags = self.state.agents.reset.at[world_idx].set(1)
+        self.state = self.state.replace(
+            agents=self.state.agents.replace(reset=flags))
+
     def step_with_world_actions(self, actions, human_action_world_0=None,
                                 human_agent_idx=None):
         """Step, optionally overriding world 0 with a human action

@@ -1,0 +1,174 @@
+"""Policy evaluation + trajectory logging.
+
+Port of scripts/infer.py: roll a checkpoint (stochastic or argmax) across N
+worlds until each completes `num_episodes`, logging the full trajectory to a
+compressed npz with the reference's exact key schema
+(scripts/infer.py:116-129) so the playback viewer consumes it unchanged;
+`multi_gen_infer` evaluates every checkpoint generation of a model on a
+fixed seed (scripts/infer.py:154-186).
+
+CLI: python -m madrona_basketball_tpu.infer [...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import SimConfig
+from .env import BasketballEnv
+from .models import agent as agent_lib
+from .models.agent import AgentParams, init_agent
+from .utils.checkpoint import load_agent
+
+
+def make_policy_fn(net, ap: AgentParams, key: jax.Array,
+                   stochastic: bool = True):
+    """A stateful callable obs -> actions (one fresh subkey per call)."""
+    state = {"key": key}
+
+    @jax.jit
+    def fwd(k, obs):
+        actions, _, _ = agent_lib.forward(net, ap, obs, k,
+                                          stochastic=stochastic)
+        return actions
+
+    def policy(obs):
+        state["key"], k = jax.random.split(state["key"])
+        return fwd(k, obs)
+
+    return policy
+
+
+def infer(env: BasketballEnv, net, policy_params: AgentParams,
+          log_path: str = "logs/trajectories.npz", num_episodes: int = 5,
+          max_steps: int = 10000, stochastic: bool = True, seed: int = 0,
+          trainee_idx: int = 1):
+    env.set_agent_idx(trainee_idx)
+    policy = make_policy_fn(net, policy_params, jax.random.PRNGKey(seed),
+                            stochastic)
+
+    trajectory_log = []
+    static_log = {}
+    if log_path:
+        Path(log_path).parent.mkdir(parents=True, exist_ok=True)
+        static_log["hoop_pos"] = np.asarray(
+            jax.device_get(env.state.hoops.pos))
+
+    obs, _, _ = env.reset()
+    episode_counts = np.zeros(env.num_worlds, dtype=np.int64)
+    step = 0
+    while step < max_steps:
+        actions = policy(obs)
+        obs, reward, done = env.step(actions)
+        if log_path:
+            t = env.tensors()
+            trajectory_log.append({
+                "agent_pos": np.asarray(t["agent_pos"]),
+                "ball_pos": np.asarray(t["basketball_pos"]),
+                "ball_vel": np.asarray(t["ball_velocity"]),
+                "orientation": np.asarray(t["orientation"]),
+                "ball_physics": np.asarray(t["ball_physics"]),
+                "agent_possession": np.asarray(t["agent_possession"]),
+                "game_state": np.asarray(t["game_state"]),
+                "rewards": np.asarray(t["reward"]),
+                "actions": np.asarray(t["action"]),
+                "done": np.asarray(done),
+            })
+        if num_episodes > 0:
+            episode_counts += np.asarray(done).astype(np.int64)
+            if np.all(episode_counts >= num_episodes):
+                print(f"All environments have completed "
+                      f"{num_episodes} episodes.")
+                break
+        step += 1
+
+    if log_path and trajectory_log:
+        episode_log = {k: np.array([e[k] for e in trajectory_log])
+                       for k in trajectory_log[0]}
+        static_log["num_episodes"] = num_episodes
+        np.savez_compressed(log_path, **static_log, **episode_log)
+        print(f"Finished logging. Trajectory saved to {log_path}")
+    print("Inference Complete")
+    return episode_counts
+
+
+def multi_gen_infer(model_name: str, num_envs: int = 10,
+                    frozen_checkpoint: str = None, trainee_idx: int = 1,
+                    num_episodes: int = 5, max_steps: int = 10000,
+                    stochastic: bool = True, test_seed: int = 0,
+                    checkpoint_dir: str = "checkpoints",
+                    cfg: SimConfig = None):
+    """Evaluate every `{model}_*.ckpt` generation on a fixed seed
+    (scripts/infer.py:154-186)."""
+    cfg = cfg or SimConfig()
+    net, template = init_agent(jax.random.PRNGKey(0))
+    search_dir = os.path.join(checkpoint_dir, model_name)
+    if not os.path.isdir(search_dir):
+        search_dir = checkpoint_dir
+    ckpts = sorted(f for f in os.listdir(search_dir)
+                   if f.startswith(f"{model_name}_") and f.endswith(".ckpt"))
+    print(f"Found {len(ckpts)} checkpoints to test: {ckpts}")
+    for name in ckpts:
+        path = os.path.join(search_dir, name)
+        log_path = f"logs/mgi/{model_name}_/{name.replace('.ckpt', '.npz')}"
+        print(f"Testing checkpoint: {path} -> {log_path}")
+        frozen_fn = None
+        if frozen_checkpoint:
+            frozen = load_agent(frozen_checkpoint, template)
+            fp = make_policy_fn(net, frozen,
+                                jax.random.PRNGKey(test_seed + 1), True)
+            frozen_fn = fp
+        env = BasketballEnv(num_envs, cfg, seed=test_seed,
+                            frozen_policy=frozen_fn,
+                            trainee_agent_idx=trainee_idx)
+        params = load_agent(path, template)
+        infer(env, net, params, log_path, num_episodes, max_steps,
+              stochastic, seed=test_seed, trainee_idx=trainee_idx)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="Evaluate checkpoints")
+    p.add_argument("--model-name", type=str, default=None)
+    p.add_argument("--trainee-idx", type=int, default=1)
+    p.add_argument("--trainee-checkpoint", type=str, default=None)
+    p.add_argument("--frozen-checkpoint", type=str, default=None)
+    p.add_argument("--log-path", type=str,
+                   default="logs/inference_trajectories.npz")
+    p.add_argument("--max-steps", type=int, default=10000)
+    p.add_argument("--num-episodes", type=int, default=5)
+    p.add_argument("--deterministic", action="store_true")
+    p.add_argument("--num-envs", type=int, default=10)
+    p.add_argument("--test-seed", type=int, default=0)
+    args = p.parse_args(argv)
+
+    if args.model_name is None:
+        cfg = SimConfig()
+        net, template = init_agent(jax.random.PRNGKey(0))
+        frozen_fn = None
+        if args.frozen_checkpoint:
+            frozen = load_agent(args.frozen_checkpoint, template)
+            frozen_fn = make_policy_fn(net, frozen,
+                                       jax.random.PRNGKey(args.test_seed + 1),
+                                       True)
+        env = BasketballEnv(args.num_envs, cfg, seed=args.test_seed,
+                            frozen_policy=frozen_fn,
+                            trainee_agent_idx=args.trainee_idx)
+        params = load_agent(args.trainee_checkpoint, template)
+        infer(env, net, params, args.log_path, args.num_episodes,
+              args.max_steps, not args.deterministic, seed=args.test_seed,
+              trainee_idx=args.trainee_idx)
+    else:
+        multi_gen_infer(args.model_name, args.num_envs,
+                        args.frozen_checkpoint, args.trainee_idx,
+                        args.num_episodes, args.max_steps,
+                        not args.deterministic, args.test_seed)
+
+
+if __name__ == "__main__":
+    main()

@@ -75,8 +75,12 @@ def _compare(s_np, world: OracleWorld, t: int):
     _assert_close("reset_now", s_np.reset_now, world.reset_now, t)
 
 
-def _run(cfg: SimConfig, seed: int, n_steps: int) -> Counter:
-    s = engine.generate_world(cfg, jax.random.PRNGKey(seed))
+def _run(cfg: SimConfig, seed: int, n_steps: int,
+         start_state=None, action_prob: float = 0.7) -> Counter:
+    if start_state is None:
+        s = engine.generate_world(cfg, jax.random.PRNGKey(seed))
+    else:
+        s = start_state
     world = OracleWorld(cfg)
     rng = np.random.RandomState(seed)
     step_fn = jax.jit(functools.partial(engine.step_core, cfg))
@@ -86,7 +90,7 @@ def _run(cfg: SimConfig, seed: int, n_steps: int) -> Counter:
     for t in range(n_steps):
         cur = np.asarray(s_np.agents.action).copy()
         for i in range(cfg.num_agents):
-            if rng.rand() < 0.7:  # sometimes leave hardcoded-defense actions
+            if rng.rand() < action_prob:  # else keep hardcoded-defense acts
                 cur[i] = rng.randint(0, BUCKETS)
         s = s.replace(agents=s.agents.replace(action=jnp.asarray(cur)))
         s_np = s_np.replace(agents=s_np.agents.replace(action=cur))
@@ -139,12 +143,84 @@ def test_golden_one_on_one_full_rules():
     assert events["grabbed"] > 0
 
 
-def test_golden_full_game():
-    """Full-game mode: inbounds, violations, quarter rollover."""
+def test_golden_full_game_rollover():
+    """Full-game mode random walk: quarter rollover at the 10 s clock."""
     events = _run(SimConfig(one_on_one=False, tag_mode=False), seed=2,
-                  n_steps=900)
-    assert events["inbounding"] > 0, "no inbound sequence exercised"
+                  n_steps=700)
     assert events["rollover"] > 0, "no quarter rollover exercised"
+
+
+def _surgery(cfg, seed, **edits):
+    """Build a world and apply direct field edits to stage a scenario."""
+    s = engine.generate_world(cfg, jax.random.PRNGKey(seed))
+    ball_edits = {k[5:]: v for k, v in edits.items()
+                  if k.startswith("ball_")}
+    game_edits = {k[5:]: v for k, v in edits.items()
+                  if k.startswith("game_")}
+    agent_edits = {k[6:]: v for k, v in edits.items()
+                   if k.startswith("agent_")}
+    if ball_edits:
+        s = s.replace(ball=s.ball.replace(
+            **{k: jnp.asarray(v, getattr(s.ball, k).dtype)
+               for k, v in ball_edits.items()}))
+    if game_edits:
+        s = s.replace(game=s.game.replace(
+            **{k: jnp.asarray(v, getattr(s.game, k).dtype)
+               for k, v in game_edits.items()}))
+    if agent_edits:
+        ag = s.agents
+        for k, v in agent_edits.items():
+            ag = ag.replace(**{k: jnp.asarray(v, getattr(ag, k).dtype)})
+        s = s.replace(agents=ag)
+    return s
+
+
+def test_golden_full_game_oob_inbound():
+    """Staged out-of-bounds ball -> dead ball + inbound assignment
+    (src/game.cpp:1084-1111)."""
+    cfg = SimConfig(one_on_one=False, tag_mode=False)
+    s = _surgery(cfg, 10,
+                 ball_pos=[0.5, 8.5, 0.0],     # outside COURT_MIN_X
+                 ball_last_touched_team=0)
+    events = _run(cfg, seed=10, n_steps=40, start_state=s)
+    assert events["inbounding"] > 0
+
+
+def test_golden_full_game_score_and_inbound():
+    """Staged made shot: ball in flight entering the scoring zone ->
+    points + baseline inbound (src/game.cpp:888-951)."""
+    cfg = SimConfig(one_on_one=False, tag_mode=False)
+    s = _surgery(cfg, 11,
+                 ball_pos=[28.70, 8.5, 0.0],   # at hoop 1's zone
+                 ball_in_flight=1,
+                 ball_shot_by_agent=C.AGENT_IDS[0],
+                 ball_shot_by_team=0,
+                 ball_shot_point_value=3,
+                 ball_shot_going_in=1,
+                 ball_grabbed=0,
+                 agent_has_ball=[0, 0])
+    events = _run(cfg, seed=11, n_steps=40, start_state=s)
+    assert events["score_total"] >= 3
+    assert events["inbounding"] > 0
+
+
+def test_golden_full_game_inbound_violation():
+    """Staged 5-second violation: inbound clock expires -> turnover
+    (src/game.cpp:1116-1157)."""
+    cfg = SimConfig(one_on_one=False, tag_mode=False)
+    s = _surgery(cfg, 12,
+                 game_inbounding_in_progress=1,
+                 game_inbound_clock=0.05,
+                 game_live_ball=0,
+                 agent_im_inbounding=[1, 0],
+                 agent_has_ball=[1, 0],
+                 agent_held_ball_id=[C.BALL_ID, C.ENTITY_ID_PLACEHOLDER],
+                 ball_grabbed=1,
+                 ball_holder=C.AGENT_IDS[0])
+    # action_prob=0: no random actions, so the inbounder holds until the
+    # 5-second clock expires and the violation turnover fires.
+    events = _run(cfg, seed=12, n_steps=30, start_state=s, action_prob=0.0)
+    assert events["inbounding"] > 0
 
 
 @pytest.mark.slow

@@ -1,0 +1,80 @@
+"""End-to-end: inference writes an npz trajectory; the viewer parses and
+renders it (headless)."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from madrona_basketball_tpu.config import SimConfig
+from madrona_basketball_tpu.env import BasketballEnv
+from madrona_basketball_tpu.infer import infer
+from madrona_basketball_tpu.models.agent import init_agent
+
+os.environ.setdefault("SDL_VIDEODRIVER", "dummy")
+os.environ.setdefault("SDL_AUDIODRIVER", "dummy")
+
+
+@pytest.fixture(scope="module")
+def trajectory_npz(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("logs") / "traj.npz")
+    cfg = SimConfig()
+    env = BasketballEnv(2, cfg, seed=0)
+    net, ap = init_agent(jax.random.PRNGKey(1))
+    infer(env, net, ap, log_path=path, num_episodes=1, max_steps=25,
+          stochastic=True, seed=0, trainee_idx=1)
+    return path
+
+
+def test_npz_schema(trajectory_npz):
+    raw = dict(np.load(trajectory_npz, allow_pickle=True))
+    # The reference viewer's expected keys (scripts/infer.py:116-129).
+    for key in ("agent_pos", "ball_pos", "ball_vel", "orientation",
+                "ball_physics", "agent_possession", "game_state", "rewards",
+                "actions", "done", "hoop_pos"):
+        assert key in raw, key
+    T = raw["done"].shape[0]
+    assert raw["agent_pos"].shape == (T, 2, 2, 3)
+    assert raw["ball_physics"].shape == (T, 2, 1, 7)
+    assert raw["game_state"].shape == (T, 2, 14)
+
+
+def test_viewer_parse_and_render(trajectory_npz):
+    from madrona_basketball_tpu.viewer.app import ViewerClass
+
+    raw, episodes, events = ViewerClass.load_and_parse_log(trajectory_npz)
+    assert len(episodes) >= 1
+    viewer = ViewerClass(headless=True)
+    t = 0
+    hp = np.asarray(raw["hoop_pos"]).reshape(-1, 3)
+    viewer._draw_frame(raw["agent_pos"][t, 0], raw["orientation"][t, 0],
+                       raw["ball_pos"][t, 0, 0], hp,
+                       raw["game_state"][t, 0],
+                       possession=raw["agent_possession"][t, 0])
+    viewer.pg.display.flip()
+
+
+def test_viewer_embedded_tick():
+    from madrona_basketball_tpu.viewer.app import ViewerClass
+
+    cfg = SimConfig()
+    env = BasketballEnv(2, cfg, seed=3)
+    viewer = ViewerClass(sim_instance=env, training_mode=True, headless=True)
+    env.viewer = viewer
+    env.reset()
+    import jax.numpy as jnp
+    for _ in range(3):
+        env.step(jnp.zeros((2, 6), jnp.int32))
+
+
+def test_rules_controller():
+    from madrona_basketball_tpu.controllers import RulesController
+
+    cfg = SimConfig()
+    env = BasketballEnv(1, cfg, seed=4)
+    env.reset()
+    obs = np.asarray(env.get_obs()[0])
+    ctl = RulesController()
+    act = ctl.get_action(obs)
+    assert act.shape == (6,)
