@@ -81,9 +81,10 @@ def test_batched_equals_single_world():
     singles = [engine.generate_world(CFG, k) for k in keys]
 
     step_b = engine.make_step_fn(CFG)
+    step_one = jax.jit(lambda w: engine.step(CFG, w))
     for _ in range(3):
         batched = step_b(batched)
-        singles = [jax.jit(lambda w: engine.step(CFG, w))(s) for s in singles]
+        singles = [step_one(s) for s in singles]
 
     for i, s in enumerate(singles):
         np.testing.assert_allclose(np.asarray(batched.agents.pos[i]),
