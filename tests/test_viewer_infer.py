@@ -20,7 +20,7 @@ os.environ.setdefault("SDL_AUDIODRIVER", "dummy")
 def trajectory_npz(tmp_path_factory):
     path = str(tmp_path_factory.mktemp("logs") / "traj.npz")
     cfg = SimConfig()
-    env = BasketballEnv(2, cfg, seed=0)
+    env = BasketballEnv(4, cfg, seed=0)
     net, ap = init_agent(jax.random.PRNGKey(1))
     infer(env, net, ap, log_path=path, num_episodes=1, max_steps=25,
           stochastic=True, seed=0, trainee_idx=1)
@@ -35,9 +35,9 @@ def test_npz_schema(trajectory_npz):
                 "actions", "done", "hoop_pos"):
         assert key in raw, key
     T = raw["done"].shape[0]
-    assert raw["agent_pos"].shape == (T, 2, 2, 3)
-    assert raw["ball_physics"].shape == (T, 2, 1, 7)
-    assert raw["game_state"].shape == (T, 2, 14)
+    assert raw["agent_pos"].shape == (T, 4, 2, 3)
+    assert raw["ball_physics"].shape == (T, 4, 1, 7)
+    assert raw["game_state"].shape == (T, 4, 14)
 
 
 def test_viewer_parse_and_render(trajectory_npz):
@@ -59,20 +59,20 @@ def test_viewer_embedded_tick():
     from madrona_basketball_tpu.viewer.app import ViewerClass
 
     cfg = SimConfig()
-    env = BasketballEnv(2, cfg, seed=3)
+    env = BasketballEnv(4, cfg, seed=3)
     viewer = ViewerClass(sim_instance=env, training_mode=True, headless=True)
     env.viewer = viewer
     env.reset()
     import jax.numpy as jnp
     for _ in range(3):
-        env.step(jnp.zeros((2, 6), jnp.int32))
+        env.step(jnp.zeros((4, 6), jnp.int32))
 
 
 def test_rules_controller():
     from madrona_basketball_tpu.controllers import RulesController
 
     cfg = SimConfig()
-    env = BasketballEnv(1, cfg, seed=4)
+    env = BasketballEnv(4, cfg, seed=4)
     env.reset()
     obs = np.asarray(env.get_obs()[0])
     ctl = RulesController()
