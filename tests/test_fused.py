@@ -1,0 +1,157 @@
+"""Fused (flat-row) step vs the structured engine, and Pallas-vs-XLA."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from madrona_basketball_tpu import constants as C
+from madrona_basketball_tpu import engine
+from madrona_basketball_tpu.config import SimConfig
+from madrona_basketball_tpu.engine_fused import noise_to_rows
+from madrona_basketball_tpu.ops import layout
+from madrona_basketball_tpu.ops.fused_step import (fused_step_xla,
+                                                   make_fused_step)
+from madrona_basketball_tpu.systems import StepNoise
+
+W = 8
+
+
+def _rand_noise(rng, w):
+    shot = rng.uniform(-1, 1, (w, C.NUM_AGENTS, 3)).astype(np.float32)
+    reset = np.stack([rng.uniform(-1, 1, w), rng.uniform(-1, 1, w),
+                      rng.uniform(0, 1, w)], axis=1).astype(np.float32)
+    return shot, reset
+
+
+def _compare_states(s_ref, s_fused, t, atol=3e-4):
+    """Structured-engine state vs unpacked fused state."""
+    for name, a, b in [
+        ("pos", s_ref.agents.pos, s_fused.agents.pos),
+        ("vel", s_ref.agents.vel, s_fused.agents.vel),
+        ("orient_abs", jnp.abs(s_ref.agents.orient),
+         jnp.abs(s_fused.agents.orient)),
+        ("reward", s_ref.agents.reward, s_fused.agents.reward),
+        ("done", s_ref.agents.done, s_fused.agents.done),
+        ("cooldown", s_ref.agents.grab_cooldown,
+         s_fused.agents.grab_cooldown),
+        ("shot_pct", s_ref.agents.shot_pct, s_fused.agents.shot_pct),
+        ("target", s_ref.agents.target_pos, s_fused.agents.target_pos),
+        ("obs", s_ref.agents.obs, s_fused.agents.obs),
+        ("ball_pos", s_ref.ball.pos, s_fused.ball.pos),
+        ("ball_vel", s_ref.ball.vel, s_fused.ball.vel),
+        ("clocks", s_ref.game.game_clock, s_fused.game.game_clock),
+    ]:
+        got, want = np.asarray(b), np.asarray(a)
+        if name == "obs":
+            # quat components may differ in sign convention at exact 180deg
+            # flips; compare magnitudes there and values elsewhere.
+            ok = np.allclose(got, want, atol=atol) or np.allclose(
+                np.abs(got), np.abs(want), atol=atol)
+            assert ok, f"step {t}: obs mismatch; max diff " \
+                f"{np.abs(got - want).max()}"
+        else:
+            np.testing.assert_allclose(
+                got, want, atol=atol, rtol=1e-3,
+                err_msg=f"step {t}: mismatch in {name}")
+    for name in ("has_ball", "held_ball_id", "points_worth", "im_inbounding",
+                 "action", "action_mask", "cur_step", "team",
+                 "defending_hoop"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(s_fused.agents, name)),
+            np.asarray(getattr(s_ref.agents, name)),
+            err_msg=f"step {t}: int mismatch agents.{name}")
+    for name in ("grabbed", "holder", "in_flight", "shot_by_agent",
+                 "shot_point_value", "shot_going_in", "last_touched_team"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(s_fused.ball, name)),
+            np.asarray(getattr(s_ref.ball, name)),
+            err_msg=f"step {t}: int mismatch ball.{name}")
+    for name in ("inbounding_in_progress", "live_ball", "is_one_on_one"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(s_fused.game, name)),
+            np.asarray(getattr(s_ref.game, name)),
+            err_msg=f"step {t}: int mismatch game.{name}")
+
+
+def _run_fused_vs_engine(cfg, n_steps=40):
+    """Per-step resync: structured engine and flat fused step agree on every
+    transition along a trajectory with randomized actions."""
+    rng = np.random.RandomState(3)
+    s = jax.vmap(lambda k: engine.generate_world(cfg, k))(
+        jax.random.split(jax.random.PRNGKey(0), W))
+    step_ref = jax.jit(jax.vmap(functools.partial(engine.step_core, cfg)))
+    pack = jax.jit(layout.pack)
+
+    for t in range(n_steps):
+        acts = rng.randint(0, [2, 8, 3, 2, 2, 2],
+                           size=(W, C.NUM_AGENTS, 6)).astype(np.int32)
+        s = s.replace(agents=s.agents.replace(action=jnp.asarray(acts)))
+
+        shot, reset = _rand_noise(rng, W)
+        noise_b = StepNoise(shot_u=jnp.asarray(shot),
+                            reset_u=jnp.asarray(reset))
+        sf, si = pack(s)
+        rows = noise_to_rows(jnp.asarray(shot), jnp.asarray(reset))
+
+        s = step_ref(s, noise_b)
+        sf2, si2, obs2 = fused_step_xla(cfg, sf, si, rows)
+        s_fused = layout.unpack(cfg, sf2, si2, s.key, obs=obs2)
+        _compare_states(s, s_fused, t)
+
+
+def test_fused_matches_engine_tag():
+    _run_fused_vs_engine(SimConfig(one_on_one=True, tag_mode=True))
+
+
+def test_fused_matches_engine_full_game():
+    _run_fused_vs_engine(SimConfig(one_on_one=False, tag_mode=False))
+
+
+@pytest.mark.slow
+def test_fused_matches_engine_one_on_one():
+    _run_fused_vs_engine(SimConfig(one_on_one=True, tag_mode=False))
+
+
+def test_pack_unpack_roundtrip():
+    cfg = SimConfig()
+    s = jax.vmap(lambda k: engine.generate_world(cfg, k))(
+        jax.random.split(jax.random.PRNGKey(5), W))
+    sf, si = layout.pack(s)
+    s2 = layout.unpack(cfg, sf, si, s.key)
+    np.testing.assert_allclose(np.asarray(s2.agents.pos),
+                               np.asarray(s.agents.pos))
+    np.testing.assert_allclose(np.asarray(s2.agents.orient),
+                               np.asarray(s.agents.orient))
+    np.testing.assert_array_equal(np.asarray(s2.ball.holder),
+                                  np.asarray(s.ball.holder))
+    np.testing.assert_allclose(np.asarray(s2.hoops.pos),
+                               np.asarray(s.hoops.pos))
+    np.testing.assert_array_equal(np.asarray(s2.game.is_one_on_one),
+                                  np.asarray(s.game.is_one_on_one))
+
+
+def test_pallas_interpret_matches_xla():
+    """The Pallas kernel (interpret mode on CPU) == the XLA row path."""
+    cfg = SimConfig()
+    worlds = 256
+    s = jax.vmap(lambda k: engine.generate_world(cfg, k))(
+        jax.random.split(jax.random.PRNGKey(7), worlds))
+    rng = np.random.RandomState(1)
+    acts = rng.randint(0, [2, 8, 3, 2, 2, 2],
+                       size=(worlds, C.NUM_AGENTS, 6)).astype(np.int32)
+    s = s.replace(agents=s.agents.replace(action=jnp.asarray(acts)))
+    sf, si = layout.pack(s)
+    shot, reset = _rand_noise(rng, worlds)
+    rows = noise_to_rows(jnp.asarray(shot), jnp.asarray(reset))
+
+    sf_x, si_x, obs_x = fused_step_xla(cfg, sf, si, rows)
+    kernel = make_fused_step(cfg, worlds, block=128, interpret=True)
+    sf_p, si_p, obs_p = kernel(sf, si, rows)
+
+    np.testing.assert_allclose(np.asarray(sf_p), np.asarray(sf_x), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(si_p), np.asarray(si_x))
+    np.testing.assert_allclose(np.asarray(obs_p), np.asarray(obs_x),
+                               atol=1e-5)
