@@ -985,11 +985,17 @@ def fused_step_xla(cfg: SimConfig, sf, si, noise):
     return jnp.stack(sf2), jnp.stack(si2), jnp.stack(obs)
 
 
+MAX_BLOCK = 4096  # VMEM budget: ~780 row-vectors live at once; 4096 lanes
+# of f32 keeps the scoped allocation under the 16 MB VMEM limit.
+
+
 def make_fused_step(cfg: SimConfig, num_worlds: int, block: int = 2048,
                     interpret: bool = False):
     """Build the single-kernel Pallas step: (sf, si, noise) -> (sf', si',
     obs)."""
-    block = min(block, num_worlds)
+    block = min(block, num_worlds, MAX_BLOCK)
+    while num_worlds % block:
+        block //= 2
     assert num_worlds % block == 0, (num_worlds, block)
     grid = (num_worlds // block,)
 

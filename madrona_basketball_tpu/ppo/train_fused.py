@@ -1,0 +1,310 @@
+"""PPO trainer over the fused SoA row-layout engine.
+
+Identical training semantics to ppo/train.py (same rollout contract, GAE,
+normalizer flow, update math), but the environment lives as flat SF/SI row
+matrices and each sim tick is the single fused Pallas kernel
+(ops/fused_step.py) instead of the ~350-fusion structured step — the fast
+path for TPU training and the one the benchmark exercises.  XLA also
+compiles this dramatically faster: the kernel is one opaque call inside the
+rollout scan instead of a 2000-op subgraph.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from .. import constants as C
+from .. import engine
+from ..config import SimConfig
+from ..engine_fused import make_noise_fn
+from ..models import agent as agent_lib
+from ..models.agent import ActorCritic, AgentParams
+from ..models.normalize import rms_normalize, rms_update
+from ..ops import layout
+from ..ops.fused_step import fused_step_xla, make_fused_step
+from ..ops.gae import compute_gae
+from .hparams import PPOParams
+from .train import (EpisodeStats, _stats_step, init_stats, make_optimizer)
+
+F32 = jnp.float32
+I32 = jnp.int32
+
+_ACTION_ROWS = [[layout.I_IDX[f"a{i}.{n}"] for n in
+                 ("a_move", "a_angle", "a_rotate", "a_grab", "a_pass",
+                  "a_shoot")] for i in range(C.NUM_AGENTS)]
+_RESET_ROWS = [layout.I_IDX[f"a{i}.reset"] for i in range(C.NUM_AGENTS)]
+
+
+@struct.dataclass
+class FusedTrainState:
+    agent: AgentParams
+    frozen: AgentParams
+    opt_state: object
+    sf: jax.Array        # (N_F32_ROWS, W)
+    si: jax.Array        # (N_I32_ROWS, W)
+    obs: jax.Array       # (N_OBS_ROWS, W)
+    env_keys: jax.Array  # (W, 2) per-world PRNG keys
+    stats: EpisodeStats
+    key: jax.Array
+    iteration: jax.Array
+
+
+def init_fused_train_state(cfg: SimConfig, hp: PPOParams, net: ActorCritic,
+                           key: jax.Array,
+                           agent: Optional[AgentParams] = None,
+                           frozen: Optional[AgentParams] = None
+                           ) -> FusedTrainState:
+    k_env, k_agent, k_frozen, k_run = jax.random.split(key, 4)
+    if agent is None:
+        _, agent = agent_lib.init_agent(k_agent)
+    if frozen is None:
+        _, frozen = agent_lib.init_agent(k_frozen)
+    env = engine.init_batch(cfg, k_env, hp.num_envs)
+    sf, si = layout.pack(env)
+    tx = make_optimizer(hp)
+    return FusedTrainState(
+        agent=agent, frozen=frozen, opt_state=tx.init(agent.params),
+        sf=sf, si=si,
+        obs=jnp.zeros((layout.N_OBS_ROWS, hp.num_envs), F32),
+        env_keys=env.key, stats=init_stats(hp.num_envs), key=k_run,
+        iteration=jnp.zeros((), I32))
+
+
+def make_train_iteration_fused(cfg: SimConfig, hp: PPOParams,
+                               net: ActorCritic, backend: str = "pallas",
+                               block: int = 2048):
+    ti = hp.trainee_idx
+    fi = 1 - ti
+    T = hp.num_rollout_steps
+    tx = make_optimizer(hp)
+    noise_fn = make_noise_fn(cfg)
+
+    if backend == "pallas":
+        blk = min(block, hp.num_envs)
+        while hp.num_envs % blk:
+            blk //= 2
+        kernel = make_fused_step(cfg, hp.num_envs, block=blk)
+    else:
+        kernel = functools.partial(fused_step_xla, cfg)
+
+    ti_lo = ti * C.OBS_SIZE
+    fi_lo = fi * C.OBS_SIZE
+    rew_row = layout.F_IDX[f"a{ti}.reward"]
+    done_row = layout.F_IDX[f"a{ti}.done"]
+
+    def write_actions(si, trainee_actions, frozen_actions):
+        for j in range(6):
+            si = si.at[_ACTION_ROWS[ti][j]].set(
+                trainee_actions[:, j].astype(I32))
+        if hp.use_frozen:
+            for j in range(6):
+                si = si.at[_ACTION_ROWS[fi][j]].set(
+                    frozen_actions[:, j].astype(I32))
+        return si
+
+    def frozen_forward(frozen, obs_rows, key):
+        if not hp.use_frozen:
+            return None
+        obs = obs_rows[fi_lo:fi_lo + C.OBS_SIZE].T
+        actions, _, _ = agent_lib.forward(net, frozen, obs, key)
+        return actions
+
+    def env_step(env_keys, sf, si):
+        env_keys, noise = noise_fn(env_keys)
+        sf, si, obs = kernel(sf, si, noise)
+        return env_keys, sf, si, obs
+
+    def set_reset_rows(si, value):
+        for r in _RESET_ROWS:
+            si = si.at[r].set(jnp.full((hp.num_envs,), value, I32))
+        return si
+
+    def reset_pulse(frozen, env_keys, sf, si, obs, key):
+        si = set_reset_rows(si, 1)
+        fa = frozen_forward(frozen, obs, key)
+        si = write_actions(si, jnp.zeros((hp.num_envs, 6), I32), fa)
+        env_keys, sf, si, obs = env_step(env_keys, sf, si)
+        si = set_reset_rows(si, 0)
+        return env_keys, sf, si, obs
+
+    def rollout(agent, frozen, env_keys, sf, si, obs, stats, key):
+        key, k0 = jax.random.split(key)
+        env_keys, sf, si, obs = reset_pulse(frozen, env_keys, sf, si, obs,
+                                            k0)
+        obs0 = obs[ti_lo:ti_lo + C.OBS_SIZE].T
+
+        def body(carry, _):
+            env_keys, sf, si, obs_rows, obs_t, stats, key = carry
+            key, k1, k2 = jax.random.split(key, 3)
+            actions, logp, value = agent_lib.forward(net, agent, obs_t, k1)
+            fa = frozen_forward(frozen, obs_rows, k2)
+            si2 = write_actions(si, actions, fa)
+            env_keys, sf2, si2, obs_rows2 = env_step(env_keys, sf, si2)
+            obs_t2 = obs_rows2[ti_lo:ti_lo + C.OBS_SIZE].T
+            rew = sf2[rew_row]
+            done = sf2[done_row]
+            stats = _stats_step(stats, rew, done)
+            out = (obs_t, actions, value, logp, 1.0 - done, rew)
+            if hp.record_world0:
+                out = out + (_world0_rows(sf2, si2, done),)
+            return (env_keys, sf2, si2, obs_rows2, obs_t2, stats, key), out
+
+        (env_keys, sf, si, obs, obs_t, stats, key), traj = jax.lax.scan(
+            body, (env_keys, sf, si, obs, obs0, stats, key), None, length=T)
+        if hp.record_world0:
+            obs_b, act_b, val_b, logp_b, nd_b, rew_b, w0 = traj
+        else:
+            obs_b, act_b, val_b, logp_b, nd_b, rew_b = traj
+            w0 = None
+        next_value = agent_lib.evaluate(net, agent, obs_t)
+        buf = dict(obs=obs_b, actions=act_b, values=val_b, log_probs=logp_b,
+                   not_dones=nd_b, rewards=rew_b, next_value=next_value)
+        return env_keys, sf, si, obs, stats, key, buf, w0
+
+    # ---- advantages + update: shared math with ppo/train.py ----
+    def compute_advantages(agent, buf):
+        values = agent_lib.unnorm_value(agent, buf["values"])
+        next_value = agent_lib.unnorm_value(agent, buf["next_value"])
+        advantages, returns = compute_gae(
+            buf["rewards"], values, buf["not_dones"], next_value,
+            hp.gamma, hp.gae_lambda)
+        obs_rms = rms_update(agent.obs_rms,
+                             buf["obs"].reshape(-1, buf["obs"].shape[-1]))
+        value_rms = rms_update(agent.value_rms, values.reshape(-1, 1))
+        value_rms = rms_update(value_rms, returns.reshape(-1, 1))
+        agent = agent.replace(obs_rms=obs_rms, value_rms=value_rms)
+        mu = advantages.mean()
+        sigma = advantages.std(ddof=1)
+        advantages = (advantages - mu) / (sigma + 1e-8)
+        values_n = rms_normalize(value_rms, values.reshape(-1, 1),
+                                 clamp=5.0).reshape(values.shape)
+        returns_n = rms_normalize(value_rms, returns.reshape(-1, 1),
+                                  clamp=5.0).reshape(returns.shape)
+        return agent, advantages, values_n, returns_n
+
+    def loss_fn(params, agent, o, a, lp, v, adv, ret):
+        lp_, ent, v_ = agent_lib.get_stats(net, agent.replace(params=params),
+                                           o, a)
+        ratio = jnp.exp(lp_ - lp)
+        surr1 = -adv * ratio
+        surr2 = -adv * jnp.clip(ratio, 1 - hp.clip_coef, 1 + hp.clip_coef)
+        pg_loss = jnp.maximum(surr1, surr2).mean()
+        vf_loss = (v_ - ret) ** 2
+        v_clip = v + jnp.clip(v_ - v, -hp.clip_coef, hp.clip_coef)
+        if hp.clip_vloss:
+            c_loss = 0.5 * jnp.maximum(vf_loss, (v_clip - ret) ** 2).mean()
+        else:
+            c_loss = 0.5 * vf_loss.mean()
+        return pg_loss + c_loss * hp.vf_coef - ent.mean() * hp.ent_coef
+
+    grad_fn = jax.grad(loss_fn)
+
+    def update_policy(agent, opt_state, buf, advantages, values_n,
+                      returns_n, key):
+        total = hp.rollout_batch_size
+        obs = buf["obs"].reshape(total, -1)
+        acts = buf["actions"].reshape(total, -1)
+        lps = buf["log_probs"].reshape(total)
+        vals = values_n.reshape(total)
+        advs = advantages.reshape(total)
+        rets = returns_n.reshape(total)
+
+        def epoch_body(carry, ekey):
+            params, opt_state = carry
+            perm = jax.random.permutation(ekey, total)
+            mb_idx = perm.reshape(hp.num_minibatches, hp.minibatch_size)
+
+            def mb_body(carry, idx):
+                params, opt_state = carry
+                grads = grad_fn(params, agent, obs[idx], acts[idx],
+                                lps[idx], vals[idx], advs[idx], rets[idx])
+                updates, opt_state = tx.update(grads, opt_state, params)
+                return (optax.apply_updates(params, updates),
+                        opt_state), None
+
+            (params, opt_state), _ = jax.lax.scan(mb_body,
+                                                  (params, opt_state),
+                                                  mb_idx)
+            return (params, opt_state), None
+
+        ekeys = jax.random.split(key, hp.update_epochs)
+        (params, opt_state), _ = jax.lax.scan(
+            epoch_body, (agent.params, opt_state), ekeys)
+        return agent.replace(params=params), opt_state
+
+    @jax.jit
+    def train_iteration(ts: FusedTrainState):
+        key, k_roll, k_upd = jax.random.split(ts.key, 3)
+        env_keys, sf, si, obs, stats, _k, buf, w0 = rollout(
+            ts.agent, ts.frozen, ts.env_keys, ts.sf, ts.si, ts.obs,
+            ts.stats, k_roll)
+        agent, advantages, values_n, returns_n = compute_advantages(ts.agent,
+                                                                    buf)
+        agent, opt_state = update_policy(agent, ts.opt_state, buf,
+                                         advantages, values_n, returns_n,
+                                         k_upd)
+        metrics = {
+            "mean_reward": stats.mean_reward,
+            "mean_episode_length": stats.mean_length,
+            "reward_window": stats.reward_size,
+            "adv_abs_mean": jnp.abs(advantages).mean(),
+            "value_mean": values_n.mean(),
+        }
+        if hp.record_world0:
+            metrics["world0"] = w0
+        ts = ts.replace(agent=agent, opt_state=opt_state, sf=sf, si=si,
+                        obs=obs, env_keys=env_keys, stats=stats, key=key,
+                        iteration=ts.iteration + 1)
+        return ts, metrics
+
+    return train_iteration
+
+
+def _world0_rows(sf, si, done):
+    """World-0 npz telemetry assembled from rows (schema of
+    ppo/train._world0_log)."""
+    gf = lambda k: sf[layout.F_IDX[k], 0]  # noqa: E731
+    gi = lambda k: si[layout.I_IDX[k], 0]  # noqa: E731
+    agent_pos = jnp.stack([
+        jnp.stack([gf(f"a{i}.pos_x"), gf(f"a{i}.pos_y"),
+                   gf(f"a{i}.pos_z")]) for i in range(C.NUM_AGENTS)])
+    orientation = jnp.stack([
+        jnp.stack([gf(f"a{i}.quat_w"), gf(f"a{i}.quat_x"),
+                   gf(f"a{i}.quat_y"), gf(f"a{i}.quat_z")])
+        for i in range(C.NUM_AGENTS)])
+    possession = jnp.stack([
+        jnp.stack([gi(f"a{i}.has_ball"), gi(f"a{i}.held_ball"),
+                   gi(f"a{i}.points_worth")]) for i in range(C.NUM_AGENTS)])
+    actions = jnp.stack([
+        jnp.stack([gi(f"a{i}.{n}") for n in
+                   ("a_move", "a_angle", "a_rotate", "a_grab", "a_pass",
+                    "a_shoot")]) for i in range(C.NUM_AGENTS)])
+    game_state = jnp.stack([
+        gi("ginb").astype(F32), gi("glive").astype(F32), gf("period"),
+        gf("tip"), gi("t0hoop").astype(F32), gf("t0score"),
+        gi("t1hoop").astype(F32), gf("t1score"), gf("gclock"), gf("sclock"),
+        gf("sbaskets"), gf("oob"), gf("iclock"), gi("is1v1").astype(F32)])
+    return {
+        "agent_pos": agent_pos[None],
+        "ball_pos": jnp.stack([gf("bpos_x"), gf("bpos_y"),
+                               gf("bpos_z")])[None, None],
+        "ball_vel": jnp.stack([gf("bvel_x"), gf("bvel_y"),
+                               gf("bvel_z")])[None, None],
+        "orientation": orientation[None],
+        "ball_physics": jnp.stack([
+            gi("binflight"), gi("blt_agent"), gi("blt_team"),
+            gi("bsb_agent"), gi("bsb_team"), gi("bspv"),
+            gi("bsgi")])[None, None],
+        "agent_possession": possession[None],
+        "game_state": game_state[None],
+        "rewards": jnp.stack([gf(f"a{i}.reward")
+                              for i in range(C.NUM_AGENTS)])[None],
+        "actions": actions[None],
+        "done": done[0:1],
+    }
