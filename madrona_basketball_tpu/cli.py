@@ -51,6 +51,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-tag-mode", action="store_true", default=False)
     p.add_argument("--full-game", action="store_true", default=False)
     p.add_argument("--tensorboard", action="store_true", default=False)
+    p.add_argument("--backend", choices=("fused", "structured", "xla-rows"),
+                   default="fused",
+                   help="fused = single-Pallas-kernel sim (TPU fast path); "
+                        "structured = jit(vmap) pytree engine; "
+                        "xla-rows = row layout without the Pallas kernel")
     return p
 
 
@@ -139,8 +144,21 @@ def main(argv=None):
           f"Iters: {args.num_iterations}")
     print(f"   Devices: {jax.devices()}")
 
-    ts = init_train_state(cfg, hp, net, key, agent=agent, frozen=frozen)
-    train_iteration = make_train_iteration(cfg, hp, net)
+    import jax as _jax
+    backend = args.backend
+    if backend == "fused" and _jax.devices()[0].platform != "tpu":
+        backend = "xla-rows"  # Mosaic kernels are TPU-only
+    if backend == "structured":
+        ts = init_train_state(cfg, hp, net, key, agent=agent, frozen=frozen)
+        train_iteration = make_train_iteration(cfg, hp, net)
+    else:
+        from .ppo.train_fused import (init_fused_train_state,
+                                      make_train_iteration_fused)
+        ts = init_fused_train_state(cfg, hp, net, key, agent=agent,
+                                    frozen=frozen)
+        train_iteration = make_train_iteration_fused(
+            cfg, hp, net,
+            backend="pallas" if backend == "fused" else "xla")
 
     writer = None
     if args.tensorboard:
@@ -149,7 +167,9 @@ def main(argv=None):
 
     recorder = None
     if args.viewer:
-        hoop_pos = np.asarray(jax.device_get(ts.env.hoops.pos[0:1]))
+        from .ops.fused_step import _hoop_geometry
+        (h0x, h0y), (h1x, h1y) = _hoop_geometry(cfg)
+        hoop_pos = np.array([[[h0x, h0y, 0.0], [h1x, h1y, 0.0]]], np.float32)
         recorder = EpisodeRecorder(f"logs/{model_name}", hoop_pos,
                                    every_n=args.log_every_n_iterations)
 
