@@ -51,11 +51,40 @@ def main(num_worlds: int = 8192, n_steps: int = 1000):
     jax.block_until_ready(eng.sf)
     fused_fps = n_steps * num_worlds / (time.perf_counter() - t0)
 
+    # --- fused engine inside lax.scan: the shape rollouts actually use
+    # (amortizes per-call dispatch; this is the deliverable number) ---
+    from madrona_basketball_tpu.engine_fused import make_noise_fn
+    from madrona_basketball_tpu.ops.fused_step import (fused_step_xla,
+                                                       make_fused_step)
+    import functools
+    noise_fn = make_noise_fn(cfg)
+    kern = make_fused_step(cfg, num_worlds) if on_tpu else \
+        functools.partial(fused_step_xla, cfg)
+
+    @jax.jit
+    def scan_steps(keys, sf, si):
+        def body(carry, _):
+            keys, sf, si = carry
+            keys, noise = noise_fn(keys)
+            sf, si, obs = kern(sf, si, noise)
+            return (keys, sf, si), ()
+        return jax.lax.scan(body, (keys, sf, si), None, length=500)[0]
+
+    keys, sf, si = scan_steps(eng.keys, eng.sf, eng.si)
+    jax.block_until_ready(sf)
+    t0 = time.perf_counter()
+    reps = 10
+    for _ in range(reps):
+        keys, sf, si = scan_steps(keys, sf, si)
+    jax.block_until_ready(sf)
+    scan_fps = reps * 500 * num_worlds / (time.perf_counter() - t0)
+
     print(f"[bench] device={jax.devices()[0].device_kind} "
           f"worlds={num_worlds} structured_fps={structured_fps:,.0f} "
-          f"fused_fps={fused_fps:,.0f}", file=sys.stderr)
+          f"fused_dispatch_fps={fused_fps:,.0f} "
+          f"fused_scan_fps={scan_fps:,.0f}", file=sys.stderr)
 
-    value = max(structured_fps, fused_fps)
+    value = max(structured_fps, fused_fps, scan_fps)
     print(json.dumps({
         "metric": f"env_steps_per_sec_{num_worlds}",
         "value": round(value, 1),
