@@ -73,3 +73,31 @@ def shard_train_state(ts, mesh: Mesh, axis_name: str = DATA_AXIS):
         key=_replicate(mesh, ts.key),
         iteration=_replicate(mesh, ts.iteration),
     )
+
+
+def shard_fused_train_state(ts, mesh: Mesh, axis_name: str = DATA_AXIS):
+    """Shard a ppo.train_fused.FusedTrainState: SF/SI/OBS row matrices split
+    on their world (last) axis, per-world keys on their leading axis,
+    learner replicated."""
+    def shard_last(x):
+        spec = P(*([None] * (x.ndim - 1) + [axis_name]))
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    rep = lambda t: jax.tree.map(lambda x: _replicate(mesh, x), t)  # noqa
+    stats = ts.stats.replace(
+        curr_rewards=_shard_leading(mesh, ts.stats.curr_rewards, axis_name),
+        episode_lengths=_shard_leading(mesh, ts.stats.episode_lengths,
+                                       axis_name),
+        mean_reward=_replicate(mesh, ts.stats.mean_reward),
+        reward_size=_replicate(mesh, ts.stats.reward_size),
+        mean_length=_replicate(mesh, ts.stats.mean_length),
+        length_size=_replicate(mesh, ts.stats.length_size),
+    )
+    return ts.replace(
+        agent=rep(ts.agent), frozen=rep(ts.frozen),
+        opt_state=rep(ts.opt_state),
+        sf=shard_last(ts.sf), si=shard_last(ts.si), obs=shard_last(ts.obs),
+        env_keys=_shard_leading(mesh, ts.env_keys, axis_name),
+        stats=stats, key=_replicate(mesh, ts.key),
+        iteration=_replicate(mesh, ts.iteration),
+    )

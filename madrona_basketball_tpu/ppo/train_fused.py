@@ -78,20 +78,35 @@ def init_fused_train_state(cfg: SimConfig, hp: PPOParams, net: ActorCritic,
 
 def make_train_iteration_fused(cfg: SimConfig, hp: PPOParams,
                                net: ActorCritic, backend: str = "pallas",
-                               block: int = 2048):
+                               block: int = 2048, mesh=None):
+    """`mesh`: optional jax.sharding.Mesh with a 'data' axis.  When given,
+    the sim kernel runs under shard_map with worlds split across devices
+    (a Pallas custom call does not auto-partition); everything else (policy,
+    GAE, update) stays ordinary jit code — XLA partitions it from the input
+    shardings and inserts the gradient all-reduce for the replicated
+    learner."""
     ti = hp.trainee_idx
     fi = 1 - ti
     T = hp.num_rollout_steps
     tx = make_optimizer(hp)
     noise_fn = make_noise_fn(cfg)
 
+    worlds_per_shard = hp.num_envs if mesh is None else \
+        hp.num_envs // mesh.size
     if backend == "pallas":
-        blk = min(block, hp.num_envs)
-        while hp.num_envs % blk:
-            blk //= 2
-        kernel = make_fused_step(cfg, hp.num_envs, block=blk)
+        kernel = make_fused_step(cfg, worlds_per_shard, block=block)
     else:
         kernel = functools.partial(fused_step_xla, cfg)
+
+    if mesh is not None:
+        from jax.sharding import PartitionSpec as P
+        from jax.experimental.shard_map import shard_map
+        row_sharded = P(None, "data")
+        kernel = shard_map(
+            kernel, mesh=mesh,
+            in_specs=(row_sharded, row_sharded, row_sharded),
+            out_specs=(row_sharded, row_sharded, row_sharded),
+            check_rep=False)
 
     ti_lo = ti * C.OBS_SIZE
     fi_lo = fi * C.OBS_SIZE

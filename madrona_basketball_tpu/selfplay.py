@@ -25,7 +25,8 @@ import jax
 from .config import SimConfig
 from .models.agent import AgentParams, init_agent
 from .ppo.hparams import PPOParams
-from .ppo.train import init_train_state, make_train_iteration
+from .ppo.train_fused import (init_fused_train_state,
+                              make_train_iteration_fused)
 from .utils.checkpoint import checkpoint_path, load_agent, save_agent
 
 
@@ -34,9 +35,11 @@ def train_generation(cfg: SimConfig, hp: PPOParams, net, key,
                      num_iterations: int, model_name: str,
                      save_every: int, log_every: int = 100) -> AgentParams:
     """One training session: trainee vs frozen opponent (scripts/ppo.py main
-    recipe at self-play scale)."""
-    ts = init_train_state(cfg, hp, net, key, agent=trainee, frozen=frozen)
-    it = make_train_iteration(cfg, hp, net)
+    recipe at self-play scale), on the fused engine."""
+    backend = "pallas" if jax.devices()[0].platform == "tpu" else "xla"
+    ts = init_fused_train_state(cfg, hp, net, key, agent=trainee,
+                                frozen=frozen)
+    it = make_train_iteration_fused(cfg, hp, net, backend=backend)
     for iteration in range(1, num_iterations + 1):
         ts, metrics = it(ts)
         if iteration % log_every == 0:

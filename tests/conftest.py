@@ -7,7 +7,10 @@ TPU hardware; benches run separately on the real chip.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU regardless of the ambient platform (the image exports
+# JAX_PLATFORMS=axon for the TPU tunnel; tests must be hermetic and leave
+# the TPU free for benchmarks/training).
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
@@ -17,6 +20,9 @@ if "xla_force_host_platform_device_count" not in _flags:
 # CPU compiles run ~1 min — cache them across test files and reruns.
 import jax  # noqa: E402
 
+# The image's axon site hook re-asserts JAX_PLATFORMS=axon; the config knob
+# wins over the env var, so force CPU here too.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

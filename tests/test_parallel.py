@@ -64,6 +64,35 @@ def test_sharded_train_iteration_matches_unsharded():
                                float(metrics["adv_abs_mean"]), atol=1e-4)
 
 
+def test_sharded_fused_trainer_matches_unsharded():
+    """Fused trainer under shard_map (worlds split over 8 devices) == the
+    single-device fused trainer."""
+    from madrona_basketball_tpu.parallel.mesh import shard_fused_train_state
+    from madrona_basketball_tpu.ppo import train_fused as TF
+
+    hp = PPOParams(num_envs=16, num_rollout_steps=4, num_minibatches=2,
+                   update_epochs=1)
+    net, _ = init_agent(jax.random.PRNGKey(0))
+
+    ts_ref = TF.init_fused_train_state(CFG, hp, net, jax.random.PRNGKey(3))
+    it_ref = TF.make_train_iteration_fused(CFG, hp, net, backend="xla")
+    ref, m_ref = it_ref(ts_ref)
+
+    mesh = make_mesh()
+    ts_sh = shard_fused_train_state(
+        TF.init_fused_train_state(CFG, hp, net, jax.random.PRNGKey(3)),
+        mesh)
+    it_sh = TF.make_train_iteration_fused(CFG, hp, net, backend="xla",
+                                          mesh=mesh)
+    out, m_sh = it_sh(ts_sh)
+
+    for a, b in zip(jax.tree.leaves(ref.agent.params),
+                    jax.tree.leaves(out.agent.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+    np.testing.assert_allclose(float(m_ref["adv_abs_mean"]),
+                               float(m_sh["adv_abs_mean"]), atol=1e-4)
+
+
 def test_dryrun_multichip_entry():
     import sys
     sys.path.insert(0, "/root/repo")
