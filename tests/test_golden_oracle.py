@@ -225,6 +225,7 @@ def test_golden_full_game_inbound_violation():
 
 @pytest.mark.slow
 def test_golden_long_tag():
+    """Extended soak of the snapshot config (deselect with -m 'not slow')."""
     events = _run(SimConfig(one_on_one=True, tag_mode=True), seed=3,
-                  n_steps=1500)
+                  n_steps=800)
     assert events["reset"] > 0
