@@ -80,8 +80,10 @@ class NativeEngine:
             init_state = engine.init_batch(cfg, jax.random.PRNGKey(seed),
                                            num_worlds)
         sf, si = layout.pack(init_state)
-        self.sf = np.ascontiguousarray(np.asarray(sf), np.float32)
-        self.si = np.ascontiguousarray(np.asarray(si), np.int32)
+        # force writable owned copies — np.asarray over a jax.Array gives a
+        # read-only view and ascontiguousarray won't copy if already packed
+        self.sf = np.array(sf, np.float32, order="C")
+        self.si = np.array(si, np.int32, order="C")
         self.obs = np.zeros((layout.N_OBS_ROWS, num_worlds), np.float32)
         self.n_threads = n_threads or (os.cpu_count() or 1)
         self.rng = np.random.RandomState(seed)
