@@ -9,9 +9,22 @@ Prints ONE JSON line:
 BASELINE.json "published" == {}.)
 
 Run on whatever jax.devices() provides (real TPU under the driver).
-Headline: the fused single-Pallas-kernel engine (the trainer's fast path),
-host-dispatch loop like scripts/run.py:11-19.  The structured jit(vmap)
-engine is reported to stderr alongside for comparison.
+
+Timing methodology: every engine is timed over chained launches (each
+launch consumes the previous launch's output) and synced by FETCHING a
+scalar of the result, best of 3 tries.  A fetch cannot under-sync: through
+a remote-device tunnel `block_until_ready` can return before the device
+work is observable, which over-reports; a fetch includes one round-trip of
+latency, which at worst under-reports slightly.
+
+Engines measured (fastest wins the headline):
+  * structured `jit(vmap(step))` pytree engine — host-dispatch loop
+    (the literal scripts/run.py shape)
+  * fused single-Pallas-kernel engine — host-dispatch loop
+  * fused kernel inside `lax.scan` — the rollout shape (500 ticks/call)
+  * multi-step kernel — K ticks per launch with the fleet state resident
+    in VMEM and noise from the on-chip PRNG (the held-action stepping
+    shape; TPU only)
 """
 
 import json
@@ -21,41 +34,63 @@ import time
 import jax
 
 
+def _best_of(tries, run):
+    best = float("inf")
+    for _ in range(tries):
+        best = min(best, run())
+    return best
+
+
 def main(num_worlds: int = 8192, n_steps: int = 1000):
+    import numpy as np
+
+    import jax.numpy as jnp
     from madrona_basketball_tpu import DEFAULT_CONFIG, engine
-    from madrona_basketball_tpu.engine_fused import FusedEngine
+    from madrona_basketball_tpu.engine_fused import FusedEngine, make_noise_fn
+    from madrona_basketball_tpu.ops.fused_step import (fused_step_xla,
+                                                       make_fused_multistep,
+                                                       make_fused_step)
 
     cfg = DEFAULT_CONFIG
     on_tpu = jax.devices()[0].platform == "tpu"
 
-    # --- structured jit(vmap(step)) engine ---
+    def fetch(x):
+        np.asarray(jax.device_get(x[:1, :1]))
+
+    # --- structured jit(vmap(step)) engine, host-dispatch loop ---
     state = engine.init_batch(cfg, jax.random.PRNGKey(0), num_worlds)
     step_fn = engine.make_step_fn(cfg)
     state = step_fn(state)
-    jax.block_until_ready(state.agents.obs)
-    t0 = time.perf_counter()
-    for _ in range(max(1, n_steps // 4)):
-        state = step_fn(state)
-    jax.block_until_ready(state.agents.obs)
-    structured_fps = (max(1, n_steps // 4) * num_worlds /
-                      (time.perf_counter() - t0))
+    fetch(state.agents.obs[:1])
+    reps = max(1, n_steps // 4)
 
-    # --- fused single-kernel engine (Pallas on TPU, XLA rows on CPU) ---
+    def run_structured():
+        nonlocal state
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            state = step_fn(state)
+        fetch(state.agents.obs[:1])
+        return time.perf_counter() - t0
+
+    structured_fps = reps * num_worlds / _best_of(3, run_structured)
+
+    # --- fused single-kernel engine (Pallas on TPU, XLA rows on CPU),
+    # host-dispatch loop ---
     eng = FusedEngine(cfg, num_worlds, seed=0,
                       backend="pallas" if on_tpu else "xla")
     eng.step()
-    jax.block_until_ready(eng.sf)
-    t0 = time.perf_counter()
-    for _ in range(n_steps):
-        eng.step()
-    jax.block_until_ready(eng.sf)
-    fused_fps = n_steps * num_worlds / (time.perf_counter() - t0)
+    fetch(eng.sf)
 
-    # --- fused engine inside lax.scan: the shape rollouts actually use
-    # (amortizes per-call dispatch; this is the deliverable number) ---
-    from madrona_basketball_tpu.engine_fused import make_noise_fn
-    from madrona_basketball_tpu.ops.fused_step import (fused_step_xla,
-                                                       make_fused_step)
+    def run_fused():
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            eng.step()
+        fetch(eng.sf)
+        return time.perf_counter() - t0
+
+    fused_fps = reps * num_worlds / _best_of(3, run_fused)
+
+    # --- fused kernel inside lax.scan: the rollout shape ---
     import functools
     noise_fn = make_noise_fn(cfg)
     kern = make_fused_step(cfg, num_worlds) if on_tpu else \
@@ -71,20 +106,48 @@ def main(num_worlds: int = 8192, n_steps: int = 1000):
         return jax.lax.scan(body, (keys, sf, si), None, length=500)[0]
 
     keys, sf, si = scan_steps(eng.keys, eng.sf, eng.si)
-    jax.block_until_ready(sf)
-    t0 = time.perf_counter()
-    reps = 10
-    for _ in range(reps):
-        keys, sf, si = scan_steps(keys, sf, si)
-    jax.block_until_ready(sf)
-    scan_fps = reps * 500 * num_worlds / (time.perf_counter() - t0)
+    fetch(sf)
+    scan_reps = 4
+
+    def run_scan():
+        nonlocal keys, sf, si
+        t0 = time.perf_counter()
+        for _ in range(scan_reps):
+            keys, sf, si = scan_steps(keys, sf, si)
+        fetch(sf)
+        return time.perf_counter() - t0
+
+    scan_fps = scan_reps * 500 * num_worlds / _best_of(3, run_scan)
+
+    # --- multi-step kernel: K ticks per launch, VMEM-resident state,
+    # on-chip PRNG, obs materialized on the final tick only ---
+    multistep_fps = 0.0
+    if on_tpu:
+        K = 2000
+        ms = jax.jit(make_fused_multistep(cfg, num_worlds, K))
+        seeds = jnp.arange(max(1, num_worlds // 2048), dtype=jnp.int32)
+        msf, msi, _ = ms(seeds, eng.sf, eng.si)
+        fetch(msf)
+        ms_reps = 5
+
+        def run_multistep():
+            nonlocal msf, msi
+            t0 = time.perf_counter()
+            for r in range(ms_reps):
+                msf, msi, _ = ms(seeds + r + 1, msf, msi)
+            fetch(msf)
+            return time.perf_counter() - t0
+
+        multistep_fps = (ms_reps * K * num_worlds /
+                         _best_of(3, run_multistep))
 
     print(f"[bench] device={jax.devices()[0].device_kind} "
           f"worlds={num_worlds} structured_fps={structured_fps:,.0f} "
           f"fused_dispatch_fps={fused_fps:,.0f} "
-          f"fused_scan_fps={scan_fps:,.0f}", file=sys.stderr)
+          f"fused_scan_fps={scan_fps:,.0f} "
+          f"fused_multistep_fps={multistep_fps:,.0f}", file=sys.stderr)
 
-    value = max(structured_fps, fused_fps, scan_fps)
+    value = max(structured_fps, fused_fps, scan_fps, multistep_fps)
     print(json.dumps({
         "metric": f"env_steps_per_sec_{num_worlds}",
         "value": round(value, 1),

@@ -269,9 +269,15 @@ def _reset_world_fields(cfg, ag, ball, game, hoops, noise):
     return ag, ball, game, hoops
 
 
-def step_fields(cfg: SimConfig, ag, ball, game, hoops, noise):
+def step_fields(cfg: SimConfig, ag, ball, game, hoops, noise,
+                compute_obs: bool = True):
     """One full tick over field dicts; mutates and returns
-    (ag, ball, game, hoops, obs_rows)."""
+    (ag, ball, game, hoops, obs_rows).
+
+    compute_obs=False skips system 18 (fillObservations) entirely — no
+    other system reads the obs buffer (reward reads shot_pct, not obs;
+    src/game.cpp:1518-1523 ordering), so intermediate steps of a
+    multi-step kernel can drop ~1/3 of the step's arithmetic."""
     w = jnp.where
     (h0x, h0y), (h1x, h1y) = _hoop_geometry(cfg)
     ZONE_R = C.HOOP_SCORE_ZONE_SIZE
@@ -806,6 +812,11 @@ def step_fields(cfg: SimConfig, ag, ball, game, hoops, noise):
         a["target_y"] = ty
 
     # -------- 18. fillObservations (src/game.cpp:1175-1461) --------
+    if not compute_obs:
+        # ---------- 19. reward (src/game.cpp:811-870) ----------
+        _reward_fields(ag, ball, game)
+        return ag, ball, game, hoops, []
+
     inbounder = jnp.full_like(ball["bholder"], -1)
     for j in range(A):
         inbounder = w(ag[j]["im_inb"] > 0, C.AGENT_IDS[j], inbounder)
@@ -897,6 +908,14 @@ def step_fields(cfg: SimConfig, ag, ball, game, hoops, noise):
         obs_rows.extend(rows)
 
     # ---------------- 19. reward (src/game.cpp:811-870) ----------------
+    _reward_fields(ag, ball, game)
+
+    return ag, ball, game, hoops, obs_rows
+
+
+def _reward_fields(ag, ball, game):
+    """System 19 (src/game.cpp:811-870) over field vectors; mutates ag."""
+    w = jnp.where
     for i in range(A):
         a = ag[i]
         o = ag[1 - i]
@@ -915,8 +934,6 @@ def step_fields(cfg: SimConfig, ag, ball, game, hoops, noise):
         r = r + w(off_act, a["shot_pct"], 0.0)
         r = r + w(~on_off, -1.0 + jnp.exp(-0.4 * dist_other), 0.0)
         a["reward"] = r
-
-    return ag, ball, game, hoops, obs_rows
 
 
 # =====================================================================
@@ -1035,5 +1052,136 @@ def make_fused_step(cfg: SimConfig, num_worlds: int, block: int = 2048,
 
     def step(sf, si, noise):
         return call(noise, sf, si)
+
+    return step
+
+
+# =====================================================================
+# Multi-step kernel: K ticks per launch, state resident in VMEM
+# =====================================================================
+#
+# The single-step kernel is HBM-bound: every launch reads the 131 state
+# rows + 9 noise rows and writes 131 state + 256 obs rows (~17 MB per
+# fleet step at 8192 worlds).  The whole fleet state is only ~4 MB, so a
+# kernel that loops K ticks over the VMEM-resident block amortizes that
+# traffic K-fold.  Noise comes from the on-chip PRNG (pltpu.prng_seed /
+# prng_random_bits) — same per-draw distributions as engine.step's
+# jax.random draws (U(-1,1) x8, U(0,1) x1; SURVEY §2.3: only
+# distribution parity is required, the reference's RNG is unavailable).
+# Observations are only materialized on the final tick (no other system
+# reads them — src/game.cpp:1518-1523 ordering).
+#
+# This is the production shape for blank/held-action stepping
+# (scripts/run.py semantics) and for eval bursts between policy reads;
+# training rollouts need per-tick policy actions and use the
+# single-step kernel inside lax.scan instead.
+
+def _bits_to_unit(bits_u32):
+    """uint32 random bits -> f32 uniform in [0, 1): set the exponent to
+    1.0's and fill the mantissa with 23 random bits, subtract 1."""
+    mant = jax.lax.shift_right_logical(bits_u32, jnp.uint32(9))
+    fb = pltpu.bitcast(mant | jnp.uint32(0x3F800000), jnp.float32)
+    return fb - 1.0
+
+
+def _prng_noise_rows(block: int):
+    """Draw the 9 noise rows from the per-core PRNG: rows 0..7 ~ U(-1,1)
+    (shot deviations + reset x/y), row 8 ~ U(0,1) (defender angle)."""
+    bits = pltpu.bitcast(
+        pltpu.prng_random_bits((N_NOISE_ROWS, block)), jnp.uint32)
+    u = _bits_to_unit(bits)
+    rows = [2.0 * u[r] - 1.0 for r in range(N_NOISE_ROWS - 1)]
+    rows.append(u[N_NOISE_ROWS - 1])
+    return rows
+
+
+NOISE_CHUNK = 16  # per-step noise stride in the external-noise matrix:
+# Mosaic requires dynamic sublane offsets provably divisible by 8, so the
+# 9 noise rows of each step are padded to a 16-row chunk.
+
+
+def pack_multistep_noise(noise_steps):
+    """Stack K (N_NOISE_ROWS, W) matrices into the (K * NOISE_CHUNK, W)
+    layout the external-noise multistep kernel reads."""
+    padded = [jnp.pad(n, ((0, NOISE_CHUNK - N_NOISE_ROWS), (0, 0)))
+              for n in noise_steps]
+    return jnp.concatenate(padded, axis=0)
+
+
+def make_fused_multistep(cfg: SimConfig, num_worlds: int, n_steps: int,
+                         block: int = 2048, interpret: bool = False,
+                         external_noise: bool = False):
+    """Build the K-step Pallas kernel.
+
+    Returns step(seeds, sf, si) -> (sf', si', obs) advancing every world
+    n_steps ticks; `seeds` is one int32 per world block.  With
+    external_noise=True the kernel instead takes a precomputed
+    (n_steps * NOISE_CHUNK, W) noise matrix (see pack_multistep_noise)
+    in place of seeds — used by tests to prove K-step == K x single-step
+    on identical draws.
+    """
+    block = min(block, num_worlds, MAX_BLOCK)
+    while num_worlds % block:
+        block //= 2
+    assert num_worlds % block == 0, (num_worlds, block)
+    grid = (num_worlds // block,)
+
+    def kernel(rng_ref, sf_in, si_in, sf_out, si_out, obs_out):
+        if not external_noise:
+            pltpu.prng_seed(rng_ref[pl.program_id(0)])
+        sf_out[:, :] = sf_in[:, :]
+        si_out[:, :] = si_in[:, :]
+
+        def tick(t, compute_obs):
+            sf = [sf_out[r, :] for r in range(N_F32_ROWS)]
+            si = [si_out[r, :] for r in range(N_I32_ROWS)]
+            if external_noise:
+                chunk = rng_ref[pl.ds(t * NOISE_CHUNK, NOISE_CHUNK), :]
+                noise = [chunk[r] for r in range(N_NOISE_ROWS)]
+            else:
+                noise = _prng_noise_rows(block)
+            ag, ball, game, hoops = _load_dicts(sf, si)
+            ag, ball, game, hoops, obs = step_fields(
+                cfg, ag, ball, game, hoops, _noise_dict(noise),
+                compute_obs=compute_obs)
+            sf2, si2 = _store_rows(ag, ball, game, hoops)
+            for r in range(N_F32_ROWS):
+                sf_out[r, :] = sf2[r]
+            for r in range(N_I32_ROWS):
+                si_out[r, :] = si2[r]
+            return obs
+
+        def body(t, carry):
+            tick(t, compute_obs=False)
+            return carry
+
+        jax.lax.fori_loop(0, n_steps - 1, body, 0)
+        obs = tick(n_steps - 1, compute_obs=True)
+        for r in range(N_OBS_ROWS):
+            obs_out[r, :] = obs[r]
+
+    def block_spec(rows):
+        return pl.BlockSpec((rows, block), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+
+    rng_spec = (block_spec(n_steps * NOISE_CHUNK) if external_noise
+                else pl.BlockSpec(memory_space=pltpu.SMEM))
+
+    call = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[rng_spec, block_spec(N_F32_ROWS), block_spec(N_I32_ROWS)],
+        out_specs=[block_spec(N_F32_ROWS), block_spec(N_I32_ROWS),
+                   block_spec(N_OBS_ROWS)],
+        out_shape=[
+            jax.ShapeDtypeStruct((N_F32_ROWS, num_worlds), F32),
+            jax.ShapeDtypeStruct((N_I32_ROWS, num_worlds), I32),
+            jax.ShapeDtypeStruct((N_OBS_ROWS, num_worlds), F32),
+        ],
+        interpret=interpret,
+    )
+
+    def step(rng, sf, si):
+        return call(rng, sf, si)
 
     return step

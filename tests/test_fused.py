@@ -155,3 +155,64 @@ def test_pallas_interpret_matches_xla():
     np.testing.assert_array_equal(np.asarray(si_p), np.asarray(si_x))
     np.testing.assert_allclose(np.asarray(obs_p), np.asarray(obs_x),
                                atol=1e-5)
+
+
+def test_multistep_matches_sequential_single_steps():
+    """K-tick kernel (interpret mode, external noise) == K sequential
+    single-step calls on identical draws — proves the in-kernel loop
+    advances the VMEM-resident state exactly like K separate launches."""
+    from madrona_basketball_tpu.ops.fused_step import (make_fused_multistep,
+                                                       pack_multistep_noise)
+    cfg = SimConfig()
+    worlds, K = 256, 5
+    s = engine.init_batch(cfg, jax.random.PRNGKey(0), worlds)
+    sf, si = layout.pack(s)
+    rng = np.random.RandomState(3)
+    chunks = []
+    for _ in range(K):
+        shot, reset = _rand_noise(rng, worlds)
+        chunks.append(noise_to_rows(jnp.asarray(shot), jnp.asarray(reset)))
+    noise = pack_multistep_noise(chunks)
+
+    ms = make_fused_multistep(cfg, worlds, K, block=128, interpret=True,
+                              external_noise=True)
+    sf_m, si_m, obs_m = ms(noise, sf, si)
+
+    sf_s, si_s = sf, si
+    for t in range(K):
+        sf_s, si_s, obs_s = fused_step_xla(cfg, sf_s, si_s, chunks[t])
+
+    np.testing.assert_allclose(np.asarray(sf_m), np.asarray(sf_s), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(si_m), np.asarray(si_s))
+    np.testing.assert_allclose(np.asarray(obs_m), np.asarray(obs_s),
+                               atol=1e-5)
+
+
+def test_step_fields_skip_obs_same_state():
+    """compute_obs=False must not change the state transition (obs feeds
+    nothing downstream; reward runs either way)."""
+    from madrona_basketball_tpu.ops.fused_step import (_load_dicts,
+                                                       _noise_dict,
+                                                       _store_rows,
+                                                       step_fields)
+    cfg = SimConfig()
+    worlds = 64
+    s = engine.init_batch(cfg, jax.random.PRNGKey(2), worlds)
+    sf, si = layout.pack(s)
+    rng = np.random.RandomState(4)
+    shot, reset = _rand_noise(rng, worlds)
+    rows = noise_to_rows(jnp.asarray(shot), jnp.asarray(reset))
+
+    def run(compute_obs):
+        ag, ball, game, hoops = _load_dicts(list(sf), list(si))
+        ag, ball, game, hoops, obs = step_fields(
+            cfg, ag, ball, game, hoops, _noise_dict(list(rows)),
+            compute_obs=compute_obs)
+        sf2, si2 = _store_rows(ag, ball, game, hoops)
+        return jnp.stack(sf2), jnp.stack(si2), obs
+
+    sf_a, si_a, obs_a = run(True)
+    sf_b, si_b, obs_b = run(False)
+    assert obs_a and obs_b == []
+    np.testing.assert_allclose(np.asarray(sf_a), np.asarray(sf_b))
+    np.testing.assert_array_equal(np.asarray(si_a), np.asarray(si_b))
