@@ -56,7 +56,24 @@ def build_parser() -> argparse.ArgumentParser:
                    help="fused = single-Pallas-kernel sim (TPU fast path); "
                         "structured = jit(vmap) pytree engine; "
                         "xla-rows = row layout without the Pallas kernel")
+    p.add_argument("--iters-per-dispatch", type=int, default=0,
+                   help="fuse N training iterations into one device "
+                        "dispatch (lax.scan) to amortize host round-trip "
+                        "latency; 0 = auto (largest divisor of the "
+                        "log/save cadences <= 50), 1 = one dispatch per "
+                        "iteration")
     return p
+
+
+def _auto_chunk(log_every: int, save_every: int, cap: int = 50) -> int:
+    """Largest chunk that keeps log/save boundaries on chunk edges."""
+    import math
+    g = math.gcd(max(1, log_every), max(1, save_every))
+    best = 1
+    for d in range(1, min(g, cap) + 1):
+        if g % d == 0:
+            best = d
+    return best
 
 
 class EpisodeRecorder:
@@ -173,36 +190,66 @@ def main(argv=None):
         recorder = EpisodeRecorder(f"logs/{model_name}", hoop_pos,
                                    every_n=args.log_every_n_iterations)
 
-    timer = PPOTimer()
-    for iteration in range(1, args.num_iterations + 1):
-        timer.start("iter")
-        timer.add_steps(hp.num_envs * hp.num_rollout_steps)
-        ts, metrics = train_iteration(ts)
-        if recorder is not None:
-            recorder.maybe_arm(iteration)
-            w0 = jax.device_get(metrics.pop("world0"))
-            recorder.feed(w0, iteration)
-        elif "world0" in metrics:
-            metrics.pop("world0")
-        if iteration % args.log_every_n_iterations == 0:
-            jax.block_until_ready(ts.agent.params)
-            timer.end("iter")
-            m = {k: float(v) for k, v in metrics.items()}
-            print(f"\nUpdate: {iteration}", end=" ")
-            timer.print()
-            print(f"Mean reward: {m['mean_reward']:.2f}. "
-                  f"Mean episode length: {m['mean_episode_length']:.2f}")
-            if writer is not None:
-                for k, v in m.items():
-                    writer.add_scalar(k, v, iteration)
-            timer.reset()
-        else:
-            timer.end("iter")
+    chunk_n = args.iters_per_dispatch or _auto_chunk(
+        args.log_every_n_iterations, args.save_model_every_n_iterations)
+    chunk_n = max(1, min(chunk_n, args.num_iterations))
+    if chunk_n > 1:
+        from .ppo.train import make_train_chunk
+        train_chunk = make_train_chunk(train_iteration, chunk_n)
 
-        if iteration % args.save_model_every_n_iterations == 0:
-            path = checkpoint_path(model_name, iteration)
-            save_agent(ts.agent, path)
-            print(f"Model {model_name} saved at iteration {iteration}")
+        def run_block(ts):
+            ts, stacked = train_chunk(ts)
+            # unstack per-iteration metrics for host-side consumers
+            ms = [jax.tree_util.tree_map(lambda x, j=j: x[j], stacked)
+                  for j in range(chunk_n)]
+            return ts, ms
+    else:
+        def run_block(ts):
+            ts, m = train_iteration(ts)
+            return ts, [m]
+
+    timer = PPOTimer()
+    iteration = 0
+    while iteration < args.num_iterations:
+        remaining = args.num_iterations - iteration
+        timer.start("iter")
+        if remaining >= chunk_n:
+            timer.add_steps(hp.num_envs * hp.num_rollout_steps * chunk_n)
+            ts, metric_list = run_block(ts)
+        else:
+            # exact tail: run the leftover iterations one dispatch each
+            timer.add_steps(hp.num_envs * hp.num_rollout_steps * remaining)
+            metric_list = []
+            for _ in range(remaining):
+                ts, m = train_iteration(ts)
+                metric_list.append(m)
+        for metrics in metric_list:
+            iteration += 1
+            if recorder is not None:
+                recorder.maybe_arm(iteration)
+                w0 = jax.device_get(metrics.pop("world0"))
+                recorder.feed(w0, iteration)
+            elif "world0" in metrics:
+                metrics.pop("world0")
+            if iteration % args.log_every_n_iterations == 0:
+                jax.block_until_ready(ts.agent.params)
+                timer.end("iter")
+                m = {k: float(v) for k, v in metrics.items()}
+                print(f"\nUpdate: {iteration}", end=" ")
+                timer.print()
+                print(f"Mean reward: {m['mean_reward']:.2f}. "
+                      f"Mean episode length: {m['mean_episode_length']:.2f}")
+                if writer is not None:
+                    for k, v in m.items():
+                        writer.add_scalar(k, v, iteration)
+                timer.reset()
+                timer.start("iter")
+
+            if iteration % args.save_model_every_n_iterations == 0:
+                path = checkpoint_path(model_name, iteration)
+                save_agent(ts.agent, path)
+                print(f"Model {model_name} saved at iteration {iteration}")
+        timer.end("iter")
 
     if writer is not None:
         writer.close()

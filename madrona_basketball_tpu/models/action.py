@@ -4,6 +4,14 @@ Functional port of `DiscreteActionDistributions` (scripts/action.py:4-45):
 flat logits are sliced into one categorical per action bucket
 ([2, 8, 3, 2, 2, 2] — move, moveAngle, rotate, grab, pass, shoot);
 sampling / argmax / log-prob / entropy all vectorize over the batch.
+
+TPU notes: selected-action log-probs use one-hot masking instead of
+`take_along_axis` — per-row gathers (and the scatters in their gradient)
+are pathologically slow on TPU, while a compare+mask+reduce over <=8-wide
+buckets is a few fused VPU ops and differentiates as dense math.  Sampling
+draws ONE Gumbel tensor over the whole logit row and arg-maxes per bucket
+(the Gumbel-max trick `jax.random.categorical` uses internally) instead of
+six separate categorical calls: one PRNG invocation, same distribution.
 """
 
 from __future__ import annotations
@@ -23,15 +31,22 @@ def _slices(buckets: Sequence[int]):
         off += n
 
 
+def _select(logp: jax.Array, act: jax.Array) -> jax.Array:
+    """logp (B, n), act (B,) -> logp[b, act[b]] without gathers."""
+    n = logp.shape[-1]
+    onehot = jnp.arange(n, dtype=I32) == act[:, None].astype(I32)
+    return jnp.sum(jnp.where(onehot, logp, 0.0), axis=-1)
+
+
 def sample(key: jax.Array, logits: jax.Array, buckets: Sequence[int]):
     """Sample all buckets; returns (actions (B, K) i32, log_probs (B, K))."""
-    keys = jax.random.split(key, len(buckets))
+    gumbel = jax.random.gumbel(key, logits.shape, logits.dtype)
+    noisy = logits + gumbel
     actions, lps = [], []
-    for k, (off, n) in zip(keys, _slices(buckets)):
-        lg = logits[:, off:off + n]
-        act = jax.random.categorical(k, lg, axis=-1)
-        logp = jax.nn.log_softmax(lg, axis=-1)
-        lps.append(jnp.take_along_axis(logp, act[:, None], axis=1)[:, 0])
+    for off, n in _slices(buckets):
+        act = jnp.argmax(noisy[:, off:off + n], axis=-1)
+        logp = jax.nn.log_softmax(logits[:, off:off + n], axis=-1)
+        lps.append(_select(logp, act))
         actions.append(act)
     return (jnp.stack(actions, axis=1).astype(I32),
             jnp.stack(lps, axis=1))
@@ -50,8 +65,7 @@ def log_probs(logits: jax.Array, actions: jax.Array,
     lps = []
     for i, (off, n) in enumerate(_slices(buckets)):
         logp = jax.nn.log_softmax(logits[:, off:off + n], axis=-1)
-        lps.append(jnp.take_along_axis(
-            logp, actions[:, i][:, None].astype(I32), axis=1)[:, 0])
+        lps.append(_select(logp, actions[:, i]))
     return jnp.stack(lps, axis=1)
 
 
@@ -62,7 +76,6 @@ def action_stats(logits: jax.Array, actions: jax.Array,
     for i, (off, n) in enumerate(_slices(buckets)):
         logp = jax.nn.log_softmax(logits[:, off:off + n], axis=-1)
         p = jnp.exp(logp)
-        lps.append(jnp.take_along_axis(
-            logp, actions[:, i][:, None].astype(I32), axis=1)[:, 0])
+        lps.append(_select(logp, actions[:, i]))
         ents.append(-jnp.sum(p * logp, axis=-1))
     return jnp.stack(lps, axis=1), jnp.stack(ents, axis=1)
