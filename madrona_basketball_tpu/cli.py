@@ -65,17 +65,6 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
-def _auto_chunk(log_every: int, save_every: int, cap: int = 50) -> int:
-    """Largest chunk that keeps log/save boundaries on chunk edges."""
-    import math
-    g = math.gcd(max(1, log_every), max(1, save_every))
-    best = 1
-    for d in range(1, min(g, cap) + 1):
-        if g % d == 0:
-            best = d
-    return best
-
-
 class EpisodeRecorder:
     """Host-side assembly of world-0 per-step logs into episode npz files —
     the file-drop IPC the live viewer watches (scripts/ppo.py:93-122,
@@ -190,7 +179,8 @@ def main(argv=None):
         recorder = EpisodeRecorder(f"logs/{model_name}", hoop_pos,
                                    every_n=args.log_every_n_iterations)
 
-    chunk_n = args.iters_per_dispatch or _auto_chunk(
+    from .ppo.train import auto_chunk
+    chunk_n = args.iters_per_dispatch or auto_chunk(
         args.log_every_n_iterations, args.save_model_every_n_iterations)
     chunk_n = max(1, min(chunk_n, args.num_iterations))
     if chunk_n > 1:

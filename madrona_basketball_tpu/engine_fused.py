@@ -77,6 +77,11 @@ class FusedEngine:
             kernel = functools.partial(fused_step_xla, cfg)
         else:
             raise ValueError(backend)
+        self._backend = backend
+        self._block = block
+        self._interpret = interpret
+        self._multistep_cache: dict = {}
+        self._multistep_calls = 0
 
         @jax.jit
         def step_all(keys, sf, si):
@@ -89,6 +94,35 @@ class FusedEngine:
     def step(self):
         self.keys, self.sf, self.si, self.obs = self._step_all(
             self.keys, self.sf, self.si)
+
+    def step_many(self, n_steps: int):
+        """Advance every world `n_steps` ticks.
+
+        On the Pallas backend this is ONE kernel launch with the fleet
+        state resident in VMEM across all ticks and per-tick noise from
+        the on-chip PRNG (ops/fused_step.make_fused_multistep) — the
+        fastest held-action stepping shape (actions persist in state, so
+        hardCodeDefense keeps driving unwritten agents each tick, exactly
+        as in repeated `step()` calls).  Per-block PRNG seeds derive from
+        a deterministic per-engine call counter.  Other backends loop
+        `step()` (same semantics, per-tick dispatch).
+        """
+        if self._backend != "pallas":
+            for _ in range(n_steps):
+                self.step()
+            return
+        from .ops.fused_step import make_fused_multistep
+        kern = self._multistep_cache.get(n_steps)
+        if kern is None:
+            kern = jax.jit(make_fused_multistep(
+                self.cfg, self.num_worlds, n_steps, block=self._block,
+                interpret=self._interpret))
+            self._multistep_cache[n_steps] = kern
+        n_blocks = max(1, self.num_worlds // self._block)
+        seeds = (jnp.arange(n_blocks, dtype=jnp.int32) * 7919 +
+                 self._multistep_calls)
+        self._multistep_calls += 1
+        self.sf, self.si, self.obs = kern(seeds, self.sf, self.si)
 
     def set_actions(self, actions: jax.Array):
         """Write a (W, A, 6) action tensor into the row state."""

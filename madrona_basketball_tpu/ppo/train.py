@@ -349,3 +349,15 @@ def make_train_chunk(train_iteration, n_iters: int):
                             length=n_iters)
 
     return chunk
+
+
+def auto_chunk(log_every: int, save_every: int, cap: int = 50) -> int:
+    """Largest iterations-per-dispatch that keeps log/save boundaries on
+    chunk edges (a common divisor of both cadences, capped)."""
+    import math
+    g = math.gcd(max(1, log_every), max(1, save_every))
+    best = 1
+    for d in range(1, min(g, cap) + 1):
+        if g % d == 0:
+            best = d
+    return best

@@ -40,15 +40,32 @@ def train_generation(cfg: SimConfig, hp: PPOParams, net, key,
     ts = init_fused_train_state(cfg, hp, net, key, agent=trainee,
                                 frozen=frozen)
     it = make_train_iteration_fused(cfg, hp, net, backend=backend)
-    for iteration in range(1, num_iterations + 1):
-        ts, metrics = it(ts)
-        if iteration % log_every == 0:
-            jax.block_until_ready(ts.agent.params)
-            print(f"  [{model_name}] iter {iteration}: "
-                  f"mean_reward={float(metrics['mean_reward']):.3f} "
-                  f"mean_len={float(metrics['mean_episode_length']):.1f}")
-        if iteration % save_every == 0:
-            save_agent(ts.agent, checkpoint_path(model_name, iteration))
+    # Fuse iterations into one dispatch per block (host round-trips
+    # dominate wall clock on remote-attached devices; see ppo/train.py).
+    from .ppo.train import auto_chunk, make_train_chunk
+    chunk_n = max(1, min(auto_chunk(log_every, save_every),
+                         num_iterations))
+    chunk = make_train_chunk(it, chunk_n) if chunk_n > 1 else None
+
+    iteration = 0
+    while iteration < num_iterations:
+        if chunk is not None and num_iterations - iteration >= chunk_n:
+            ts, stacked = chunk(ts)
+            metric_list = [jax.tree_util.tree_map(lambda x, j=j: x[j],
+                                                  stacked)
+                           for j in range(chunk_n)]
+        else:
+            ts, m = it(ts)
+            metric_list = [m]
+        for metrics in metric_list:
+            iteration += 1
+            if iteration % log_every == 0:
+                jax.block_until_ready(ts.agent.params)
+                print(f"  [{model_name}] iter {iteration}: "
+                      f"mean_reward={float(metrics['mean_reward']):.3f} "
+                      f"mean_len={float(metrics['mean_episode_length']):.1f}")
+            if iteration % save_every == 0:
+                save_agent(ts.agent, checkpoint_path(model_name, iteration))
     return ts.agent
 
 

@@ -216,3 +216,17 @@ def test_step_fields_skip_obs_same_state():
     assert obs_a and obs_b == []
     np.testing.assert_allclose(np.asarray(sf_a), np.asarray(sf_b))
     np.testing.assert_array_equal(np.asarray(si_a), np.asarray(si_b))
+
+
+def test_step_many_xla_fallback_matches_steps():
+    """FusedEngine.step_many on the XLA backend == n x step() (the
+    fallback literally loops step; this pins the API contract)."""
+    from madrona_basketball_tpu.engine_fused import FusedEngine
+    cfg = SimConfig()
+    e1 = FusedEngine(cfg, 32, seed=5, backend="xla")
+    e2 = FusedEngine(cfg, 32, seed=5, backend="xla")
+    e1.step_many(4)
+    for _ in range(4):
+        e2.step()
+    np.testing.assert_allclose(np.asarray(e1.sf), np.asarray(e2.sf))
+    np.testing.assert_array_equal(np.asarray(e1.si), np.asarray(e2.si))
