@@ -125,8 +125,8 @@ def main(num_worlds: int = 8192, n_steps: int = 1000):
     if on_tpu:
         K = 2000
         ms = jax.jit(make_fused_multistep(cfg, num_worlds, K))
-        seeds = jnp.arange(max(1, num_worlds // 2048), dtype=jnp.int32)
-        msf, msi, _ = ms(seeds, eng.sf, eng.si)
+        seed0 = jnp.zeros((1,), jnp.int32)
+        msf, msi, _ = ms(seed0, eng.sf, eng.si)
         fetch(msf)
         ms_reps = 5
 
@@ -134,7 +134,7 @@ def main(num_worlds: int = 8192, n_steps: int = 1000):
             nonlocal msf, msi
             t0 = time.perf_counter()
             for r in range(ms_reps):
-                msf, msi, _ = ms(seeds + r + 1, msf, msi)
+                msf, msi, _ = ms(seed0 + r + 1, msf, msi)
             fetch(msf)
             return time.perf_counter() - t0
 

@@ -182,17 +182,23 @@ def main(argv=None):
     from .ppo.train import auto_chunk
     chunk_n = args.iters_per_dispatch or auto_chunk(
         args.log_every_n_iterations, args.save_model_every_n_iterations)
+    if chunk_n > 1 and (args.log_every_n_iterations % chunk_n or
+                        args.save_model_every_n_iterations % chunk_n):
+        # A chunk that straddles a save/log boundary would checkpoint
+        # end-of-chunk params under a mid-chunk iteration label.
+        safe = auto_chunk(args.log_every_n_iterations,
+                          args.save_model_every_n_iterations)
+        print(f"--iters-per-dispatch {chunk_n} does not divide the "
+              f"log/save cadence; using {safe} instead")
+        chunk_n = safe
     chunk_n = max(1, min(chunk_n, args.num_iterations))
     if chunk_n > 1:
-        from .ppo.train import make_train_chunk
+        from .ppo.train import make_train_chunk, unstack_metrics
         train_chunk = make_train_chunk(train_iteration, chunk_n)
 
         def run_block(ts):
             ts, stacked = train_chunk(ts)
-            # unstack per-iteration metrics for host-side consumers
-            ms = [jax.tree_util.tree_map(lambda x, j=j: x[j], stacked)
-                  for j in range(chunk_n)]
-            return ts, ms
+            return ts, unstack_metrics(stacked, chunk_n)
     else:
         def run_block(ts):
             ts, m = train_iteration(ts)

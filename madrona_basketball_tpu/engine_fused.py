@@ -68,9 +68,8 @@ class FusedEngine:
 
         noise_fn = make_noise_fn(cfg)
         if backend == "pallas":
-            block = min(block, num_worlds)
-            while num_worlds % block:
-                block //= 2
+            from .ops.fused_step import pick_block
+            block = pick_block(num_worlds, block)
             kernel = make_fused_step(cfg, num_worlds, block=block,
                                      interpret=interpret)
         elif backend == "xla":
@@ -103,10 +102,13 @@ class FusedEngine:
         the on-chip PRNG (ops/fused_step.make_fused_multistep) — the
         fastest held-action stepping shape (actions persist in state, so
         hardCodeDefense keeps driving unwritten agents each tick, exactly
-        as in repeated `step()` calls).  Per-block PRNG seeds derive from
-        a deterministic per-engine call counter.  Other backends loop
-        `step()` (same semantics, per-tick dispatch).
+        as in repeated `step()` calls).  The PRNG seed derives from a
+        deterministic per-engine call counter; the kernel folds its block
+        index in itself.  Other backends loop `step()` (same semantics,
+        per-tick dispatch).
         """
+        if n_steps <= 0:
+            return
         if self._backend != "pallas":
             for _ in range(n_steps):
                 self.step()
@@ -114,15 +116,16 @@ class FusedEngine:
         from .ops.fused_step import make_fused_multistep
         kern = self._multistep_cache.get(n_steps)
         if kern is None:
+            if len(self._multistep_cache) >= 8:
+                # one compiled executable per distinct K; bound the set
+                self._multistep_cache.pop(next(iter(self._multistep_cache)))
             kern = jax.jit(make_fused_multistep(
                 self.cfg, self.num_worlds, n_steps, block=self._block,
                 interpret=self._interpret))
             self._multistep_cache[n_steps] = kern
-        n_blocks = max(1, self.num_worlds // self._block)
-        seeds = (jnp.arange(n_blocks, dtype=jnp.int32) * 7919 +
-                 self._multistep_calls)
+        seed = jnp.array([self._multistep_calls], jnp.int32)
         self._multistep_calls += 1
-        self.sf, self.si, self.obs = kern(seeds, self.sf, self.si)
+        self.sf, self.si, self.obs = kern(seed, self.sf, self.si)
 
     def set_actions(self, actions: jax.Array):
         """Write a (W, A, 6) action tensor into the row state."""

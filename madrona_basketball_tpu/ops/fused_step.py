@@ -1006,14 +1006,35 @@ MAX_BLOCK = 4096  # VMEM budget: ~780 row-vectors live at once; 4096 lanes
 # of f32 keeps the scoped allocation under the 16 MB VMEM limit.
 
 
+def pick_block(num_worlds: int, block: int = 2048,
+               max_block: int = MAX_BLOCK) -> int:
+    """World-block size for the Pallas kernels.
+
+    Mosaic requires the lane (world) block to be a multiple of 128 that
+    divides num_worlds, OR the whole array.  Prefers the requested size,
+    walks down in 128-lane steps, and falls back to one whole-array block
+    when num_worlds fits in VMEM."""
+    block = min(block, num_worlds, max_block)
+    if block == num_worlds:
+        return block
+    b = (block // 128) * 128
+    while b >= 128:
+        if num_worlds % b == 0:
+            return b
+        b -= 128
+    if num_worlds <= max_block:
+        return num_worlds
+    raise ValueError(
+        f"num_worlds={num_worlds} cannot be split into TPU world blocks "
+        f"(needs num_worlds <= {max_block} or a divisor that is a "
+        f"multiple of 128); pad the world count, e.g. to a power of two")
+
+
 def make_fused_step(cfg: SimConfig, num_worlds: int, block: int = 2048,
                     interpret: bool = False):
     """Build the single-kernel Pallas step: (sf, si, noise) -> (sf', si',
     obs)."""
-    block = min(block, num_worlds, MAX_BLOCK)
-    while num_worlds % block:
-        block //= 2
-    assert num_worlds % block == 0, (num_worlds, block)
+    block = pick_block(num_worlds, block)
     grid = (num_worlds // block,)
 
     def kernel(noise_ref, sf_ref, si_ref, sf_out, si_out, obs_out):
@@ -1113,22 +1134,27 @@ def make_fused_multistep(cfg: SimConfig, num_worlds: int, n_steps: int,
                          external_noise: bool = False):
     """Build the K-step Pallas kernel.
 
-    Returns step(seeds, sf, si) -> (sf', si', obs) advancing every world
-    n_steps ticks; `seeds` is one int32 per world block.  With
-    external_noise=True the kernel instead takes a precomputed
-    (n_steps * NOISE_CHUNK, W) noise matrix (see pack_multistep_noise)
-    in place of seeds — used by tests to prove K-step == K x single-step
-    on identical draws.
+    Returns step(seed, sf, si) -> (sf', si', obs) advancing every world
+    n_steps ticks; `seed` is a single (1,) int32 — the kernel folds the
+    block index into the PRNG seed itself, so callers never have to know
+    the internal block/grid split.  With external_noise=True the kernel
+    instead takes a precomputed (n_steps * NOISE_CHUNK, W) noise matrix
+    (see pack_multistep_noise) in place of the seed — used by tests to
+    prove K-step == K x single-step on identical draws.
     """
-    block = min(block, num_worlds, MAX_BLOCK)
-    while num_worlds % block:
-        block //= 2
-    assert num_worlds % block == 0, (num_worlds, block)
+    assert n_steps >= 1, "multistep kernel needs at least one tick"
+    # The multistep kernel holds in+out state blocks AND the obs block in
+    # VMEM at once; 4096-lane blocks overflow the 16 MB scoped budget by
+    # ~0.5 MB, so split blocks cap at 2048 (whole-array up to 3072 still
+    # fits for awkward world counts with no 128-multiple divisor).
+    block = pick_block(num_worlds, min(block, 2048), max_block=3072)
     grid = (num_worlds // block,)
 
     def kernel(rng_ref, sf_in, si_in, sf_out, si_out, obs_out):
         if not external_noise:
-            pltpu.prng_seed(rng_ref[pl.program_id(0)])
+            # Distinct stream per (caller seed, block): prng_seed hashes
+            # all its operands together.
+            pltpu.prng_seed(rng_ref[0], pl.program_id(0))
         sf_out[:, :] = sf_in[:, :]
         si_out[:, :] = si_in[:, :]
 

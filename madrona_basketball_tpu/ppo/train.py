@@ -107,6 +107,61 @@ def make_optimizer(hp: PPOParams) -> optax.GradientTransformation:
     )
 
 
+def make_minibatch_update(hp: PPOParams):
+    """Shared epochs x shuffled-minibatches update skeleton
+    (scripts/ppo.py:180-216), used by BOTH trainers.
+
+    Everything a minibatch needs rides in ONE (total, D+K+4) f32 matrix
+    (actions are small ints, exact in f32) so the per-epoch shuffle is a
+    single bulk row-gather, and minibatches are contiguous slices (scan
+    leading axis).  Separate gathers for the narrow arrays each cost as
+    much as the wide obs gather — per-row overhead dominates TPU gathers
+    — and per-minibatch fancy indexing was ~40% of a whole training
+    iteration.
+
+    Returns update(grad_step, params, opt_state, buf, advantages,
+    values_n, returns_n, key) -> (params, opt_state) where
+    grad_step((params, opt_state), o, a, lp, v, adv, ret) applies one
+    minibatch gradient step.
+    """
+
+    def update(grad_step, params, opt_state, buf, advantages, values_n,
+               returns_n, key):
+        total = hp.rollout_batch_size
+        obs = buf["obs"].reshape(total, -1)
+        D = obs.shape[-1]
+        K = buf["actions"].shape[-1]
+        feat = jnp.concatenate([
+            obs,
+            buf["actions"].reshape(total, K).astype(F32),
+            buf["log_probs"].reshape(total, 1),
+            values_n.reshape(total, 1),
+            advantages.reshape(total, 1),
+            returns_n.reshape(total, 1)], axis=-1)
+
+        def epoch_body(carry, ekey):
+            perm = jax.random.permutation(ekey, total)
+            feat_e = feat[perm].reshape(hp.num_minibatches,
+                                        hp.minibatch_size, -1)
+
+            def mb_body(carry, fe):
+                o = fe[:, :D]
+                a = fe[:, D:D + K].astype(I32)
+                return grad_step(carry, o, a, fe[:, D + K],
+                                 fe[:, D + K + 1], fe[:, D + K + 2],
+                                 fe[:, D + K + 3]), None
+
+            carry, _ = jax.lax.scan(mb_body, carry, feat_e)
+            return carry, None
+
+        ekeys = jax.random.split(key, hp.update_epochs)
+        (params, opt_state), _ = jax.lax.scan(
+            epoch_body, (params, opt_state), ekeys)
+        return params, opt_state
+
+    return update
+
+
 def init_train_state(cfg: SimConfig, hp: PPOParams, net: ActorCritic,
                      key: jax.Array,
                      agent: Optional[AgentParams] = None,
@@ -238,49 +293,21 @@ def make_train_iteration(cfg: SimConfig, hp: PPOParams, net: ActorCritic):
 
     grad_fn = jax.grad(loss_fn, has_aux=True)
 
+    mb_update = make_minibatch_update(hp)
+
     def update_policy(agent: AgentParams, opt_state, buf, advantages,
                       values_n, returns_n, key):
         """4 epochs x 4 shuffled minibatches (scripts/ppo.py:180-216)."""
-        total = hp.rollout_batch_size
-        obs = buf["obs"].reshape(total, -1)
-        D = obs.shape[-1]
-        K = buf["actions"].shape[-1]
-        # One (total, D+K+4) matrix so the per-epoch shuffle is a single
-        # bulk row-gather; minibatches are then contiguous slices (scan
-        # leading axis).  Per-minibatch / per-array fancy indexing is a
-        # TPU gather hotspot — see train_fused.py for the numbers.
-        feat = jnp.concatenate([
-            obs,
-            buf["actions"].reshape(total, K).astype(F32),
-            buf["log_probs"].reshape(total, 1),
-            values_n.reshape(total, 1),
-            advantages.reshape(total, 1),
-            returns_n.reshape(total, 1)], axis=-1)
 
-        def epoch_body(carry, ekey):
+        def grad_step(carry, o, a, lp, v, adv, ret):
             params, opt_state = carry
-            perm = jax.random.permutation(ekey, total)
-            feat_e = feat[perm].reshape(hp.num_minibatches,
-                                        hp.minibatch_size, -1)
+            grads, _aux = grad_fn(params, agent, o, a, lp, v, adv, ret)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state
 
-            def mb_body(carry, fe):
-                params, opt_state = carry
-                o = fe[:, :D]
-                a = fe[:, D:D + K].astype(jnp.int32)
-                grads, _aux = grad_fn(params, agent, o, a,
-                                      fe[:, D + K], fe[:, D + K + 1],
-                                      fe[:, D + K + 2], fe[:, D + K + 3])
-                updates, opt_state = tx.update(grads, opt_state, params)
-                params = optax.apply_updates(params, updates)
-                return (params, opt_state), None
-
-            (params, opt_state), _ = jax.lax.scan(
-                mb_body, (params, opt_state), feat_e)
-            return (params, opt_state), None
-
-        ekeys = jax.random.split(key, hp.update_epochs)
-        (params, opt_state), _ = jax.lax.scan(
-            epoch_body, (agent.params, opt_state), ekeys)
+        params, opt_state = mb_update(grad_step, agent.params, opt_state,
+                                      buf, advantages, values_n, returns_n,
+                                      key)
         return agent.replace(params=params), opt_state
 
     @jax.jit
@@ -349,6 +376,14 @@ def make_train_chunk(train_iteration, n_iters: int):
                             length=n_iters)
 
     return chunk
+
+
+def unstack_metrics(stacked, n: int) -> list:
+    """Inverse of make_train_chunk's metric stacking: a pytree whose
+    leaves carry a leading (n,) axis -> a list of n per-iteration
+    pytrees, in order."""
+    return [jax.tree_util.tree_map(lambda x, j=j: x[j], stacked)
+            for j in range(n)]
 
 
 def auto_chunk(log_every: int, save_every: int, cap: int = 50) -> int:

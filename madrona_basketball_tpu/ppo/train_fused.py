@@ -30,7 +30,8 @@ from ..ops import layout
 from ..ops.fused_step import fused_step_xla, make_fused_step
 from ..ops.gae import compute_gae
 from .hparams import PPOParams
-from .train import (EpisodeStats, _stats_step, init_stats, make_optimizer)
+from .train import (EpisodeStats, _stats_step, init_stats,
+                    make_minibatch_update, make_optimizer)
 
 F32 = jnp.float32
 I32 = jnp.int32
@@ -220,53 +221,19 @@ def make_train_iteration_fused(cfg: SimConfig, hp: PPOParams,
 
     grad_fn = jax.grad(loss_fn)
 
+    mb_update = make_minibatch_update(hp)
+
     def update_policy(agent, opt_state, buf, advantages, values_n,
                       returns_n, key):
-        total = hp.rollout_batch_size
-        obs = buf["obs"].reshape(total, -1)
-        D = obs.shape[-1]
-        K = buf["actions"].shape[-1]
-        # Everything a minibatch needs rides in ONE (total, D+K+4) f32
-        # matrix (actions are small ints, exact in f32): the per-epoch
-        # shuffle is then a single bulk row-gather.  Separate gathers for
-        # the narrow arrays cost as much as the wide obs gather each —
-        # per-row overhead dominates TPU gathers, so fewer gathers >>
-        # fewer bytes.  Per-minibatch fancy indexing (16 gathers/iter) was
-        # ~40% of the whole training iteration; three per-epoch gathers
-        # were still ~70% of the update.
-        feat = jnp.concatenate([
-            obs,
-            buf["actions"].reshape(total, K).astype(F32),
-            buf["log_probs"].reshape(total, 1),
-            values_n.reshape(total, 1),
-            advantages.reshape(total, 1),
-            returns_n.reshape(total, 1)], axis=-1)
-
-        def epoch_body(carry, ekey):
+        def grad_step(carry, o, a, lp, v, adv, ret):
             params, opt_state = carry
-            perm = jax.random.permutation(ekey, total)
-            feat_e = feat[perm].reshape(hp.num_minibatches,
-                                        hp.minibatch_size, -1)
+            grads = grad_fn(params, agent, o, a, lp, v, adv, ret)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state
 
-            def mb_body(carry, fe):
-                params, opt_state = carry
-                o = fe[:, :D]
-                a = fe[:, D:D + K].astype(I32)
-                grads = grad_fn(params, agent, o, a,
-                                fe[:, D + K], fe[:, D + K + 1],
-                                fe[:, D + K + 2], fe[:, D + K + 3])
-                updates, opt_state = tx.update(grads, opt_state, params)
-                return (optax.apply_updates(params, updates),
-                        opt_state), None
-
-            (params, opt_state), _ = jax.lax.scan(mb_body,
-                                                  (params, opt_state),
-                                                  feat_e)
-            return (params, opt_state), None
-
-        ekeys = jax.random.split(key, hp.update_epochs)
-        (params, opt_state), _ = jax.lax.scan(
-            epoch_body, (agent.params, opt_state), ekeys)
+        params, opt_state = mb_update(grad_step, agent.params, opt_state,
+                                      buf, advantages, values_n, returns_n,
+                                      key)
         return agent.replace(params=params), opt_state
 
     @jax.jit

@@ -42,7 +42,7 @@ def train_generation(cfg: SimConfig, hp: PPOParams, net, key,
     it = make_train_iteration_fused(cfg, hp, net, backend=backend)
     # Fuse iterations into one dispatch per block (host round-trips
     # dominate wall clock on remote-attached devices; see ppo/train.py).
-    from .ppo.train import auto_chunk, make_train_chunk
+    from .ppo.train import auto_chunk, make_train_chunk, unstack_metrics
     chunk_n = max(1, min(auto_chunk(log_every, save_every),
                          num_iterations))
     chunk = make_train_chunk(it, chunk_n) if chunk_n > 1 else None
@@ -51,9 +51,7 @@ def train_generation(cfg: SimConfig, hp: PPOParams, net, key,
     while iteration < num_iterations:
         if chunk is not None and num_iterations - iteration >= chunk_n:
             ts, stacked = chunk(ts)
-            metric_list = [jax.tree_util.tree_map(lambda x, j=j: x[j],
-                                                  stacked)
-                           for j in range(chunk_n)]
+            metric_list = unstack_metrics(stacked, chunk_n)
         else:
             ts, m = it(ts)
             metric_list = [m]
