@@ -123,12 +123,12 @@ def main(num_worlds: int = 8192, n_steps: int = 1000):
     # on-chip PRNG, obs materialized on the final tick only ---
     multistep_fps = 0.0
     if on_tpu:
-        K = 2000
+        K = 5000
         ms = jax.jit(make_fused_multistep(cfg, num_worlds, K))
         seed0 = jnp.zeros((1,), jnp.int32)
         msf, msi, _ = ms(seed0, eng.sf, eng.si)
         fetch(msf)
-        ms_reps = 5
+        ms_reps = 3
 
         def run_multistep():
             nonlocal msf, msi

@@ -1105,11 +1105,12 @@ def _bits_to_unit(bits_u32):
     return fb - 1.0
 
 
-def _prng_noise_rows(block: int):
+def _prng_noise_rows(field_shape):
     """Draw the 9 noise rows from the per-core PRNG: rows 0..7 ~ U(-1,1)
     (shot deviations + reset x/y), row 8 ~ U(0,1) (defender angle)."""
     bits = pltpu.bitcast(
-        pltpu.prng_random_bits((N_NOISE_ROWS, block)), jnp.uint32)
+        pltpu.prng_random_bits((N_NOISE_ROWS,) + tuple(field_shape)),
+        jnp.uint32)
     u = _bits_to_unit(bits)
     rows = [2.0 * u[r] - 1.0 for r in range(N_NOISE_ROWS - 1)]
     rows.append(u[N_NOISE_ROWS - 1])
@@ -1141,40 +1142,90 @@ def make_fused_multistep(cfg: SimConfig, num_worlds: int, n_steps: int,
     instead takes a precomputed (n_steps * NOISE_CHUNK, W) noise matrix
     (see pack_multistep_noise) in place of the seed — used by tests to
     prove K-step == K x single-step on identical draws.
+
+    Layout: when the world count allows (W % 1024 == 0), each field is
+    processed as an (8, W/8) 2-D tile instead of a (W,) row — a 1-D row
+    occupies only 1 of the 8 sublanes of every f32 vreg, so 2-D tiles
+    run the same elementwise math at up to ~5x the VPU throughput
+    (measured on v5e).  The (rows, W) <-> (rows, 8, W/8) reshapes happen
+    once per launch and amortize over the K ticks.
     """
     assert n_steps >= 1, "multistep kernel needs at least one tick"
-    # The multistep kernel holds in+out state blocks AND the obs block in
-    # VMEM at once; 4096-lane blocks overflow the 16 MB scoped budget by
-    # ~0.5 MB, so split blocks cap at 2048 (whole-array up to 3072 still
-    # fits for awkward world counts with no 128-multiple divisor).
-    block = pick_block(num_worlds, min(block, 2048), max_block=3072)
-    grid = (num_worlds // block,)
+    # Each field's live temporaries scale with worlds-per-block; blocks of
+    # 2048 worlds keep the kernel inside the 16 MB scoped VMEM budget
+    # (4096 overflows by ~0.5 MB with in+out+obs blocks resident).
+    layout2d = num_worlds % 1024 == 0
+    if layout2d:
+        cols = num_worlds // 8
+        blk_c = pick_block(cols, min(block, 2048) // 8, max_block=384)
+        grid = (cols // blk_c,)
+        field_shape = (8, blk_c)
+
+        def in3d(x, rows):
+            return x.reshape(rows, 8, cols)
+
+        def spec3(rows):
+            return pl.BlockSpec((rows, 8, blk_c), lambda i: (0, 0, i),
+                                memory_space=pltpu.VMEM)
+
+        state_specs = [spec3(N_F32_ROWS), spec3(N_I32_ROWS)]
+        out_specs = [spec3(N_F32_ROWS), spec3(N_I32_ROWS),
+                     spec3(N_OBS_ROWS)]
+        out_shape = [
+            jax.ShapeDtypeStruct((N_F32_ROWS, 8, cols), F32),
+            jax.ShapeDtypeStruct((N_I32_ROWS, 8, cols), I32),
+            jax.ShapeDtypeStruct((N_OBS_ROWS, 8, cols), F32),
+        ]
+        rng_spec = (spec3(n_steps * NOISE_CHUNK) if external_noise
+                    else pl.BlockSpec(memory_space=pltpu.SMEM))
+    else:
+        blk = pick_block(num_worlds, min(block, 2048), max_block=3072)
+        grid = (num_worlds // blk,)
+        field_shape = (blk,)
+
+        def in3d(x, rows):
+            return x
+
+        def spec2(rows):
+            return pl.BlockSpec((rows, blk), lambda i: (0, i),
+                                memory_space=pltpu.VMEM)
+
+        state_specs = [spec2(N_F32_ROWS), spec2(N_I32_ROWS)]
+        out_specs = [spec2(N_F32_ROWS), spec2(N_I32_ROWS),
+                     spec2(N_OBS_ROWS)]
+        out_shape = [
+            jax.ShapeDtypeStruct((N_F32_ROWS, num_worlds), F32),
+            jax.ShapeDtypeStruct((N_I32_ROWS, num_worlds), I32),
+            jax.ShapeDtypeStruct((N_OBS_ROWS, num_worlds), F32),
+        ]
+        rng_spec = (spec2(n_steps * NOISE_CHUNK) if external_noise
+                    else pl.BlockSpec(memory_space=pltpu.SMEM))
 
     def kernel(rng_ref, sf_in, si_in, sf_out, si_out, obs_out):
         if not external_noise:
             # Distinct stream per (caller seed, block): prng_seed hashes
             # all its operands together.
             pltpu.prng_seed(rng_ref[0], pl.program_id(0))
-        sf_out[:, :] = sf_in[:, :]
-        si_out[:, :] = si_in[:, :]
+        sf_out[...] = sf_in[...]
+        si_out[...] = si_in[...]
 
         def tick(t, compute_obs):
-            sf = [sf_out[r, :] for r in range(N_F32_ROWS)]
-            si = [si_out[r, :] for r in range(N_I32_ROWS)]
+            sf = [sf_out[r] for r in range(N_F32_ROWS)]
+            si = [si_out[r] for r in range(N_I32_ROWS)]
             if external_noise:
-                chunk = rng_ref[pl.ds(t * NOISE_CHUNK, NOISE_CHUNK), :]
+                chunk = rng_ref[pl.ds(t * NOISE_CHUNK, NOISE_CHUNK)]
                 noise = [chunk[r] for r in range(N_NOISE_ROWS)]
             else:
-                noise = _prng_noise_rows(block)
+                noise = _prng_noise_rows(field_shape)
             ag, ball, game, hoops = _load_dicts(sf, si)
             ag, ball, game, hoops, obs = step_fields(
                 cfg, ag, ball, game, hoops, _noise_dict(noise),
                 compute_obs=compute_obs)
             sf2, si2 = _store_rows(ag, ball, game, hoops)
             for r in range(N_F32_ROWS):
-                sf_out[r, :] = sf2[r]
+                sf_out[r] = sf2[r]
             for r in range(N_I32_ROWS):
-                si_out[r, :] = si2[r]
+                si_out[r] = si2[r]
             return obs
 
         def body(t, carry):
@@ -1184,30 +1235,24 @@ def make_fused_multistep(cfg: SimConfig, num_worlds: int, n_steps: int,
         jax.lax.fori_loop(0, n_steps - 1, body, 0)
         obs = tick(n_steps - 1, compute_obs=True)
         for r in range(N_OBS_ROWS):
-            obs_out[r, :] = obs[r]
-
-    def block_spec(rows):
-        return pl.BlockSpec((rows, block), lambda i: (0, i),
-                            memory_space=pltpu.VMEM)
-
-    rng_spec = (block_spec(n_steps * NOISE_CHUNK) if external_noise
-                else pl.BlockSpec(memory_space=pltpu.SMEM))
+            obs_out[r] = obs[r]
 
     call = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[rng_spec, block_spec(N_F32_ROWS), block_spec(N_I32_ROWS)],
-        out_specs=[block_spec(N_F32_ROWS), block_spec(N_I32_ROWS),
-                   block_spec(N_OBS_ROWS)],
-        out_shape=[
-            jax.ShapeDtypeStruct((N_F32_ROWS, num_worlds), F32),
-            jax.ShapeDtypeStruct((N_I32_ROWS, num_worlds), I32),
-            jax.ShapeDtypeStruct((N_OBS_ROWS, num_worlds), F32),
-        ],
+        in_specs=[rng_spec] + state_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
     )
 
     def step(rng, sf, si):
-        return call(rng, sf, si)
+        if external_noise:
+            rng = in3d(rng, n_steps * NOISE_CHUNK)
+        sf2, si2, obs = call(rng, in3d(sf, N_F32_ROWS),
+                             in3d(si, N_I32_ROWS))
+        return (sf2.reshape(N_F32_ROWS, num_worlds),
+                si2.reshape(N_I32_ROWS, num_worlds),
+                obs.reshape(N_OBS_ROWS, num_worlds))
 
     return step
