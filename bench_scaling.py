@@ -1,0 +1,136 @@
+"""Weak-scaling sweep over the data mesh (BASELINE config 5).
+
+For n = 1, 2, 4, ... available devices, runs (a) fused sim stepping under
+shard_map and (b) the full fused PPO train iteration, with a FIXED number
+of worlds per device, and reports env-steps/s plus efficiency relative to
+the single-device rate.  On a pod slice run `jax.distributed.initialize()`
+per host first and this sweeps across hosts over ICI/DCN; on one chip it
+degrades to the n=1 row; on CPU set
+`JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8`
+to validate the mechanics on a virtual 8-device mesh.
+
+Prints one JSON line per n:
+  {"devices": n, "worlds": W, "sim_steps_per_sec": ..,
+   "train_env_steps_per_sec": .., "sim_efficiency": ..,
+   "train_efficiency": ..}
+
+Timing is chained-launch, fetch-synced (see bench.py for why).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import numpy as np
+
+
+def _fetch(x):
+    np.asarray(jax.device_get(jax.tree_util.tree_leaves(x)[0].ravel()[:1]))
+
+
+def sweep(per_device_worlds: int = 4096, rollout_steps: int = 32,
+          sim_steps: int = 500, reps: int = 3):
+    import functools
+
+    import jax.numpy as jnp
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from madrona_basketball_tpu import DEFAULT_CONFIG, engine
+    from madrona_basketball_tpu.engine_fused import make_noise_fn
+    from madrona_basketball_tpu.models.agent import init_agent
+    from madrona_basketball_tpu.ops import layout
+    from madrona_basketball_tpu.ops.fused_step import (fused_step_xla,
+                                                       make_fused_step)
+    from madrona_basketball_tpu.parallel.mesh import (
+        make_mesh, shard_fused_train_state)
+    from madrona_basketball_tpu.ppo import train_fused as TF
+    from madrona_basketball_tpu.ppo.hparams import PPOParams
+
+    cfg = DEFAULT_CONFIG
+    devices = jax.devices()
+    on_tpu = devices[0].platform == "tpu"
+    net, _ = init_agent(jax.random.PRNGKey(0))
+
+    sizes = []
+    n = 1
+    while n <= len(devices):
+        sizes.append(n)
+        n *= 2
+
+    base_sim = base_train = None
+    for n in sizes:
+        mesh = make_mesh(devices[:n])
+        W = per_device_worlds * n
+
+        # ---- (a) sim stepping: fused kernel in a scan under shard_map ----
+        kern = make_fused_step(cfg, per_device_worlds) if on_tpu else \
+            functools.partial(fused_step_xla, cfg)
+        row = P(None, "data")
+        kern_sharded = shard_map(kern, mesh=mesh,
+                                 in_specs=(row, row, row),
+                                 out_specs=(row, row, row),
+                                 check_rep=False)
+        noise_fn = make_noise_fn(cfg)
+
+        @jax.jit
+        def scan_steps(keys, sf, si):
+            def body(carry, _):
+                keys, sf, si = carry
+                keys, noise = noise_fn(keys)
+                sf, si, _obs = kern_sharded(sf, si, noise)
+                return (keys, sf, si), ()
+            return jax.lax.scan(body, (keys, sf, si), None,
+                                length=sim_steps)[0]
+
+        st = engine.init_batch(cfg, jax.random.PRNGKey(0), W)
+        sf, si = layout.pack(st)
+        from madrona_basketball_tpu.parallel.mesh import _shard_leading
+        from jax.sharding import NamedSharding
+        sf = jax.device_put(sf, NamedSharding(mesh, row))
+        si = jax.device_put(si, NamedSharding(mesh, row))
+        keys = _shard_leading(mesh, st.key)
+        carry = scan_steps(keys, sf, si)
+        _fetch(carry)
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            carry = scan_steps(*carry)
+            _fetch(carry)
+            best = min(best, time.perf_counter() - t0)
+        sim_rate = sim_steps * W / best
+
+        # ---- (b) full fused PPO train iteration ----
+        hp = PPOParams(num_envs=W, num_rollout_steps=rollout_steps)
+        ts = shard_fused_train_state(
+            TF.init_fused_train_state(cfg, hp, net, jax.random.PRNGKey(1)),
+            mesh)
+        it = TF.make_train_iteration_fused(
+            cfg, hp, net, backend="pallas" if on_tpu else "xla", mesh=mesh)
+        ts, _m = it(ts)
+        _fetch(ts.agent.params)
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            ts, _m = it(ts)
+            _fetch(ts.agent.params)
+            best = min(best, time.perf_counter() - t0)
+        train_rate = W * rollout_steps / best
+
+        base_sim = base_sim or sim_rate
+        base_train = base_train or train_rate
+        print(json.dumps({
+            "devices": n, "worlds": W,
+            "sim_steps_per_sec": round(sim_rate, 1),
+            "train_env_steps_per_sec": round(train_rate, 1),
+            "sim_efficiency": round(sim_rate / (base_sim * n), 3),
+            "train_efficiency": round(train_rate / (base_train * n), 3),
+        }))
+
+
+if __name__ == "__main__":
+    worlds = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
+    sweep(worlds)
