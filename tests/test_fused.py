@@ -230,3 +230,46 @@ def test_step_many_xla_fallback_matches_steps():
         e2.step()
     np.testing.assert_allclose(np.asarray(e1.sf), np.asarray(e2.sf))
     np.testing.assert_array_equal(np.asarray(e1.si), np.asarray(e2.si))
+
+
+def test_multistep_2d_layout_matches_sequential():
+    """W=1024 routes through the (8, W/8) 2-D tile layout; same
+    equivalence proof as the 1-D test."""
+    from madrona_basketball_tpu.ops.fused_step import (make_fused_multistep,
+                                                       pack_multistep_noise)
+    cfg = SimConfig()
+    worlds, K = 1024, 2
+    s = engine.init_batch(cfg, jax.random.PRNGKey(4), worlds)
+    sf, si = layout.pack(s)
+    rng = np.random.RandomState(6)
+    chunks = []
+    for _ in range(K):
+        shot, reset = _rand_noise(rng, worlds)
+        chunks.append(noise_to_rows(jnp.asarray(shot), jnp.asarray(reset)))
+    noise = pack_multistep_noise(chunks)
+
+    ms = make_fused_multistep(cfg, worlds, K, interpret=True,
+                              external_noise=True)
+    sf_m, si_m, obs_m = ms(noise, sf, si)
+
+    sf_s, si_s = sf, si
+    for t in range(K):
+        sf_s, si_s, obs_s = fused_step_xla(cfg, sf_s, si_s, chunks[t])
+
+    np.testing.assert_allclose(np.asarray(sf_m), np.asarray(sf_s), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(si_m), np.asarray(si_s))
+    np.testing.assert_allclose(np.asarray(obs_m), np.asarray(obs_s),
+                               atol=1e-5)
+
+
+def test_pick_block():
+    from madrona_basketball_tpu.ops.fused_step import MAX_BLOCK, pick_block
+    assert pick_block(8192) == 2048          # preferred split
+    assert pick_block(8192, 8192) == MAX_BLOCK
+    assert pick_block(1024) == 1024          # whole array
+    assert pick_block(3000) == 3000          # no 128-multiple divisor
+    assert pick_block(256, 128) == 128
+    assert pick_block(64) == 64              # tiny whole array
+    assert pick_block(6144) == 2048
+    with pytest.raises(ValueError):
+        pick_block(8192 + 8, 2048, max_block=2048)  # 8200: no split fits
