@@ -23,6 +23,14 @@ class PPOParams:
     trainee_idx: int = 1
     use_frozen: bool = False  # frozen-opponent self-play branch
     record_world0: bool = False  # emit world-0 telemetry for the viewer
+    shuffle_block: int = 8
+    # ^ epoch shuffles permute blocks of this many CONSECUTIVE flat
+    # samples as one unit.  TPU gathers are row-count-bound (~19 ns/row
+    # regardless of width), so shuffling 8-sample super-rows cuts the
+    # update's shuffle cost ~8x.  Consecutive flat indices are the SAME
+    # timestep of adjacent envs (buffer layout (T, N)) — near-i.i.d., so
+    # minibatch decorrelation is preserved; set 1 for the reference's
+    # exact sample-granularity shuffle (scripts/ppo.py:188).
 
     @property
     def rollout_batch_size(self) -> int:

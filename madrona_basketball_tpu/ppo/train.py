@@ -138,11 +138,17 @@ def make_minibatch_update(hp: PPOParams):
             values_n.reshape(total, 1),
             advantages.reshape(total, 1),
             returns_n.reshape(total, 1)], axis=-1)
+        F = feat.shape[-1]
+        # Super-row shuffle: see PPOParams.shuffle_block.
+        G = hp.shuffle_block if (hp.shuffle_block > 1 and
+                                 hp.minibatch_size % hp.shuffle_block == 0
+                                 ) else 1
+        featG = feat.reshape(total // G, G * F)
 
         def epoch_body(carry, ekey):
-            perm = jax.random.permutation(ekey, total)
-            feat_e = feat[perm].reshape(hp.num_minibatches,
-                                        hp.minibatch_size, -1)
+            perm = jax.random.permutation(ekey, total // G)
+            feat_e = featG[perm].reshape(hp.num_minibatches,
+                                         hp.minibatch_size, F)
 
             def mb_body(carry, fe):
                 o = fe[:, :D]
