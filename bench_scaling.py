@@ -35,9 +35,8 @@ def sweep(per_device_worlds: int = 4096, rollout_steps: int = 32,
           sim_steps: int = 500, reps: int = 3):
     import functools
 
-    import jax.numpy as jnp
     from jax.experimental.shard_map import shard_map
-    from jax.sharding import PartitionSpec as P
+    from jax.sharding import NamedSharding, PartitionSpec as P
 
     from madrona_basketball_tpu import DEFAULT_CONFIG, engine
     from madrona_basketball_tpu.engine_fused import make_noise_fn
@@ -60,6 +59,8 @@ def sweep(per_device_worlds: int = 4096, rollout_steps: int = 32,
     while n <= len(devices):
         sizes.append(n)
         n *= 2
+    if sizes[-1] != len(devices):
+        sizes.append(len(devices))  # always include the full mesh
 
     base_sim = base_train = None
     for n in sizes:
@@ -88,11 +89,9 @@ def sweep(per_device_worlds: int = 4096, rollout_steps: int = 32,
 
         st = engine.init_batch(cfg, jax.random.PRNGKey(0), W)
         sf, si = layout.pack(st)
-        from madrona_basketball_tpu.parallel.mesh import _shard_leading
-        from jax.sharding import NamedSharding
         sf = jax.device_put(sf, NamedSharding(mesh, row))
         si = jax.device_put(si, NamedSharding(mesh, row))
-        keys = _shard_leading(mesh, st.key)
+        keys = jax.device_put(st.key, NamedSharding(mesh, P("data", None)))
         carry = scan_steps(keys, sf, si)
         _fetch(carry)
         best = float("inf")

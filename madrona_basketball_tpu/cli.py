@@ -56,6 +56,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="fused = single-Pallas-kernel sim (TPU fast path); "
                         "structured = jit(vmap) pytree engine; "
                         "xla-rows = row layout without the Pallas kernel")
+    p.add_argument("--shuffle-block", type=int,
+                   default=PPOParams.shuffle_block,
+                   help="epoch shuffles permute blocks of N consecutive "
+                        "samples (TPU gathers are row-bound); 1 = the "
+                        "reference's exact sample-granularity shuffle")
     p.add_argument("--iters-per-dispatch", type=int, default=0,
                    help="fuse N training iterations into one device "
                         "dispatch (lax.scan) to amortize host round-trip "
@@ -134,6 +139,7 @@ def main(argv=None):
         trainee_idx=args.trainee_idx,
         use_frozen=args.frozen_checkpoint is not None,
         record_world0=args.viewer,
+        shuffle_block=args.shuffle_block,
     )
 
     key = jax.random.PRNGKey(args.seed)

@@ -1157,7 +1157,10 @@ def make_fused_multistep(cfg: SimConfig, num_worlds: int, n_steps: int,
     layout2d = num_worlds % 1024 == 0
     if layout2d:
         cols = num_worlds // 8
-        blk_c = pick_block(cols, min(block, 2048) // 8, max_block=384)
+        # A column block needs >= 128 lanes; requests below that (block <
+        # 1024 worlds) clamp up rather than error.
+        blk_c = pick_block(cols, max(min(block, 2048) // 8, 128),
+                           max_block=384)
         grid = (cols // blk_c,)
         field_shape = (8, blk_c)
 

@@ -16,6 +16,12 @@ Faithfully reproduced reference contracts:
     place (scripts/ppo.py:144-177).
   * Adam(lr=3e-4, eps=1e-8) after global-norm clipping at 1.0
     (scripts/ppo.py:301, 214).
+
+One deliberate deviation: the default epoch shuffle permutes 8-sample
+super-rows instead of single samples (PPOParams.shuffle_block — TPU
+gathers are row-count-bound; 3000-iteration curves plateau identically).
+Set shuffle_block=1 for the reference's exact sample-granularity shuffle
+(scripts/ppo.py:188).
 """
 
 from __future__ import annotations
@@ -125,6 +131,16 @@ def make_minibatch_update(hp: PPOParams):
     minibatch gradient step.
     """
 
+    # Super-row shuffle: see PPOParams.shuffle_block.
+    G = hp.shuffle_block
+    if G > 1 and hp.minibatch_size % G:
+        import warnings
+        warnings.warn(
+            f"shuffle_block={G} does not divide minibatch_size="
+            f"{hp.minibatch_size}; falling back to sample-exact shuffling",
+            stacklevel=2)
+        G = 1
+
     def update(grad_step, params, opt_state, buf, advantages, values_n,
                returns_n, key):
         total = hp.rollout_batch_size
@@ -139,10 +155,6 @@ def make_minibatch_update(hp: PPOParams):
             advantages.reshape(total, 1),
             returns_n.reshape(total, 1)], axis=-1)
         F = feat.shape[-1]
-        # Super-row shuffle: see PPOParams.shuffle_block.
-        G = hp.shuffle_block if (hp.shuffle_block > 1 and
-                                 hp.minibatch_size % hp.shuffle_block == 0
-                                 ) else 1
         featG = feat.reshape(total // G, G * F)
 
         def epoch_body(carry, ekey):
