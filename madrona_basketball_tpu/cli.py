@@ -56,6 +56,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="fused = single-Pallas-kernel sim (TPU fast path); "
                         "structured = jit(vmap) pytree engine; "
                         "xla-rows = row layout without the Pallas kernel")
+    p.add_argument("--data-parallel", action="store_true", default=False,
+                   help="shard worlds over ALL attached devices (data "
+                        "mesh axis); learner replicates and gradient "
+                        "sync rides ICI")
+    p.add_argument("--distributed", action="store_true", default=False,
+                   help="call jax.distributed.initialize() first (run "
+                        "the same command on every host of a pod slice)")
     p.add_argument("--shuffle-block", type=int,
                    default=PPOParams.shuffle_block,
                    help="epoch shuffles permute blocks of N consecutive "
@@ -122,6 +129,10 @@ class EpisodeRecorder:
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    if args.distributed:
+        from .parallel.distributed import init_distributed
+        n = init_distributed()
+        print(f"jax.distributed initialized: {n} global devices")
     model_name = args.model_name or \
         f"MadronaBasketball__{args.seed}__{int(time.time())}"
 
@@ -160,9 +171,23 @@ def main(argv=None):
     backend = args.backend
     if backend == "fused" and _jax.devices()[0].platform != "tpu":
         backend = "xla-rows"  # Mosaic kernels are TPU-only
+
+    mesh = None
+    if args.data_parallel:
+        from .parallel.mesh import make_mesh
+        mesh = make_mesh()
+        if hp.num_envs % mesh.size:
+            raise SystemExit(f"--num-envs {hp.num_envs} must divide evenly "
+                             f"over {mesh.size} devices")
+        print(f"Data-parallel over {mesh.size} devices "
+              f"({hp.num_envs // mesh.size} worlds each)")
+
     if backend == "structured":
         ts = init_train_state(cfg, hp, net, key, agent=agent, frozen=frozen)
         train_iteration = make_train_iteration(cfg, hp, net)
+        if mesh is not None:
+            from .parallel.mesh import shard_train_state
+            ts = shard_train_state(ts, mesh)
     else:
         from .ppo.train_fused import (init_fused_train_state,
                                       make_train_iteration_fused)
@@ -170,7 +195,11 @@ def main(argv=None):
                                     frozen=frozen)
         train_iteration = make_train_iteration_fused(
             cfg, hp, net,
-            backend="pallas" if backend == "fused" else "xla")
+            backend="pallas" if backend == "fused" else "xla",
+            mesh=mesh)
+        if mesh is not None:
+            from .parallel.mesh import shard_fused_train_state
+            ts = shard_fused_train_state(ts, mesh)
 
     writer = None
     if args.tensorboard:

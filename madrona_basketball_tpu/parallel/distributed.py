@@ -1,0 +1,45 @@
+"""Multi-host bring-up.
+
+The reference has no distributed backend at all (SURVEY §2.6 — its only
+inter-process mechanism is self-play's subprocess + checkpoint files).
+Here multi-host is JAX-native: every host calls
+`jax.distributed.initialize()`, after which `jax.devices()` spans the
+whole slice and the ordinary data-mesh sharding (parallel/mesh.py) rides
+ICI/DCN with XLA-inserted collectives.
+
+Typical pod-slice launch (same command on every host):
+
+    python -m madrona_basketball_tpu.cli --data-parallel --distributed ...
+"""
+
+from __future__ import annotations
+
+import jax
+
+
+def init_distributed(coordinator_address: str | None = None,
+                     num_processes: int | None = None,
+                     process_id: int | None = None) -> int:
+    """Initialize multi-host JAX; returns the global device count.
+
+    With no arguments, relies on the TPU environment's automatic
+    coordinator discovery (GCE metadata / megascale env), which is the
+    normal path on Cloud TPU pod slices.  No-ops gracefully when already
+    initialized or single-process.
+    """
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id)
+    except RuntimeError as e:  # already initialized
+        if "already" not in str(e).lower():
+            raise
+    except ValueError as e:
+        # No coordinator discoverable: not on a multi-host slice (and none
+        # given explicitly) — single-process operation is the right
+        # degradation, the data mesh just spans local devices.
+        import warnings
+        warnings.warn(f"jax.distributed not initialized ({e}); "
+                      "continuing single-process", stacklevel=2)
+    return len(jax.devices())

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import struct
 
 from . import constants as C
@@ -36,7 +37,9 @@ from .state import State
 F32 = jnp.float32
 I32 = jnp.int32
 PLACEHOLDER = C.ENTITY_ID_PLACEHOLDER
-FWD = jnp.array([0.0, 1.0, 0.0], F32)  # AGENT_BASE_FORWARD (src/constants.hpp:54)
+FWD = np.array([0.0, 1.0, 0.0], np.float32)  # AGENT_BASE_FORWARD (src/constants.hpp:54)
+# (numpy, not jnp: module-level jnp constants initialize the XLA
+# backend at import, which breaks jax.distributed.initialize)
 
 
 @struct.dataclass
@@ -761,7 +764,7 @@ def agent_collision_system(cfg: SimConfig, s: State) -> State:
 # 17. hardCodeDefenseSystem (src/game.cpp:651-755)
 # =====================================================================
 
-_MOVE_DIRECTIONS = jnp.array([
+_MOVE_DIRECTIONS = np.array([
     [0.0, -1.0, 0.0],   # 0: Up
     [1.0, -1.0, 0.0],   # 1: Up-Right
     [1.0, 0.0, 0.0],    # 2: Right
@@ -770,7 +773,7 @@ _MOVE_DIRECTIONS = jnp.array([
     [-1.0, 1.0, 0.0],   # 5: Down-Left
     [-1.0, 0.0, 0.0],   # 6: Left
     [-1.0, -1.0, 0.0],  # 7: Up-Left
-], F32)
+], np.float32)
 
 
 def hard_code_defense_system(cfg: SimConfig, s: State) -> State:
