@@ -31,6 +31,10 @@ def save_agent(agent: AgentParams, path: str) -> str:
 
 def load_agent(path: str, template: Optional[AgentParams] = None
                ) -> AgentParams:
+    if path.endswith((".pth", ".pt")):
+        # reference-format PyTorch checkpoint (scripts/ppo.py:337-350)
+        from .torch_compat import load_torch_agent
+        return load_torch_agent(path)
     if template is None:
         _, template = init_agent(jax.random.PRNGKey(0))
     with open(path, "rb") as f:
