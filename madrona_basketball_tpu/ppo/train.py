@@ -155,7 +155,11 @@ def make_minibatch_update(hp: PPOParams):
             advantages.reshape(total, 1),
             returns_n.reshape(total, 1)], axis=-1)
         F = feat.shape[-1]
-        featG = feat.reshape(total // G, G * F)
+        # 3-D super-rows: the gather permutes dim 0 and the post-gather
+        # reshape merges LEADING dims only (free), instead of a 2-D
+        # (rows, G*F) form whose reshape back to F columns is a paid
+        # relayout (~2.6 ms/iter at 8192 envs).
+        featG = feat.reshape(total // G, G, F)
 
         def epoch_body(carry, ekey):
             perm = jax.random.permutation(ekey, total // G)
