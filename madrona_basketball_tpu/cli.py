@@ -132,7 +132,12 @@ def main(argv=None):
     if args.distributed:
         from .parallel.distributed import init_distributed
         n = init_distributed()
-        print(f"jax.distributed initialized: {n} global devices")
+        print(f"jax.distributed: {jax.process_count()} process(es), "
+              f"{n} global device(s)")
+    # Multi-host: only process 0 owns host-side I/O (checkpoints on a
+    # shared filesystem, console logs, TensorBoard, viewer recordings) —
+    # every process would otherwise clobber the same paths.
+    is_main = jax.process_index() == 0
     model_name = args.model_name or \
         f"MadronaBasketball__{args.seed}__{int(time.time())}"
 
@@ -202,12 +207,12 @@ def main(argv=None):
             ts = shard_fused_train_state(ts, mesh)
 
     writer = None
-    if args.tensorboard:
+    if args.tensorboard and is_main:
         from tensorboardX import SummaryWriter
         writer = SummaryWriter(f"runs/{model_name}")
 
     recorder = None
-    if args.viewer:
+    if args.viewer and is_main:
         from .ops.fused_step import _hoop_geometry
         (h0x, h0y), (h1x, h1y) = _hoop_geometry(cfg)
         hoop_pos = np.array([[[h0x, h0y, 0.0], [h1x, h1y, 0.0]]], np.float32)
@@ -266,17 +271,20 @@ def main(argv=None):
                 jax.block_until_ready(ts.agent.params)
                 timer.end("iter")
                 m = {k: float(v) for k, v in metrics.items()}
-                print(f"\nUpdate: {iteration}", end=" ")
-                timer.print()
-                print(f"Mean reward: {m['mean_reward']:.2f}. "
-                      f"Mean episode length: {m['mean_episode_length']:.2f}")
+                if is_main:
+                    print(f"\nUpdate: {iteration}", end=" ")
+                    timer.print()
+                    print(f"Mean reward: {m['mean_reward']:.2f}. "
+                          f"Mean episode length: "
+                          f"{m['mean_episode_length']:.2f}")
                 if writer is not None:
                     for k, v in m.items():
                         writer.add_scalar(k, v, iteration)
                 timer.reset()
                 timer.start("iter")
 
-            if iteration % args.save_model_every_n_iterations == 0:
+            if iteration % args.save_model_every_n_iterations == 0 \
+                    and is_main:
                 path = checkpoint_path(model_name, iteration)
                 save_agent(ts.agent, path)
                 print(f"Model {model_name} saved at iteration {iteration}")

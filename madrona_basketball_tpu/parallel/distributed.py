@@ -27,18 +27,25 @@ def init_distributed(coordinator_address: str | None = None,
     normal path on Cloud TPU pod slices.  No-ops gracefully when already
     initialized or single-process.
     """
+    # No-op when already initialized (checked up front: post-hoc message
+    # matching is unreliable — JAX's double-init error doesn't name it).
+    try:
+        from jax._src import distributed as _dist
+        if getattr(_dist.global_state, "client", None) is not None:
+            return len(jax.devices())
+    except ImportError:
+        pass
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
             process_id=process_id)
-    except RuntimeError as e:  # already initialized
-        if "already" not in str(e).lower():
-            raise
     except ValueError as e:
-        # No coordinator discoverable: not on a multi-host slice (and none
-        # given explicitly) — single-process operation is the right
-        # degradation, the data mesh just spans local devices.
+        if coordinator_address or num_processes or process_id is not None:
+            raise  # explicit-but-incomplete config is a real error
+        # No coordinator discoverable and none requested: not on a
+        # multi-host slice — single-process is the right degradation,
+        # the data mesh just spans local devices.
         import warnings
         warnings.warn(f"jax.distributed not initialized ({e}); "
                       "continuing single-process", stacklevel=2)

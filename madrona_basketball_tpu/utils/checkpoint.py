@@ -31,12 +31,20 @@ def save_agent(agent: AgentParams, path: str) -> str:
 
 def load_agent(path: str, template: Optional[AgentParams] = None
                ) -> AgentParams:
+    if template is None:
+        _, template = init_agent(jax.random.PRNGKey(0))
     if path.endswith((".pth", ".pt")):
         # reference-format PyTorch checkpoint (scripts/ppo.py:337-350)
         from .torch_compat import load_torch_agent
-        return load_torch_agent(path)
-    if template is None:
-        _, template = init_agent(jax.random.PRNGKey(0))
+        ap = load_torch_agent(path)
+        got = jax.tree_util.tree_map(lambda x: x.shape, ap.params)
+        want = jax.tree_util.tree_map(lambda x: x.shape, template.params)
+        if got != want:
+            raise ValueError(
+                f"{path}: imported architecture does not match this "
+                f"framework's ActorCritic — imported {got}, expected "
+                f"{want}")
+        return ap
     with open(path, "rb") as f:
         return serialization.from_bytes(template, f.read())
 

@@ -43,5 +43,12 @@ class PPOTimer:
     def print(self):
         print(f"Took {self.t['iter']:.2f} seconds. "
               f"FPS: {self.fps('iter')}. Global {self.global_step:_}")
-        print(f"Rollout: {self.t['rollout']:.2f}s, "
-              f"Update: {self.t['update']:.2f}s")
+        if self.t["rollout"] or self.t["update"]:
+            print(f"Rollout: {self.t['rollout']:.2f}s, "
+                  f"Update: {self.t['update']:.2f}s")
+        else:
+            # Fused path: rollout+GAE+update compile into ONE device
+            # program, so there are no host-visible sub-phase boundaries
+            # to time (the reference's sim/inference/update split exists
+            # because it crosses the host every step).
+            print("(rollout+update fused into one device program)")
