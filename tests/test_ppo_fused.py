@@ -72,3 +72,26 @@ def test_fused_trainer_world0_recording():
     assert w0["agent_pos"].shape == (4, 1, 2, 3)
     assert w0["game_state"].shape == (4, 1, 14)
     assert w0["done"].shape == (4, 1)
+
+
+def test_fused_trainer_full_game_config():
+    """The trainer runs on the full-basketball ruleset (is1v1=0 branches:
+    scoring inbounds, OOB turnovers, quarter rollover) — not just tag."""
+    import jax
+    import numpy as np
+    from madrona_basketball_tpu.config import SimConfig
+    from madrona_basketball_tpu.models.agent import init_agent
+    from madrona_basketball_tpu.ppo.hparams import PPOParams
+    from madrona_basketball_tpu.ppo import train_fused as TF
+
+    cfg = SimConfig(one_on_one=False, tag_mode=False)
+    hp = PPOParams(num_envs=32, num_rollout_steps=8, num_minibatches=2,
+                   update_epochs=1)
+    net, _ = init_agent(jax.random.PRNGKey(0))
+    ts = TF.init_fused_train_state(cfg, hp, net, jax.random.PRNGKey(1))
+    it = TF.make_train_iteration_fused(cfg, hp, net, backend="xla")
+    for _ in range(2):
+        ts, m = it(ts)
+    leaf = np.asarray(jax.tree_util.tree_leaves(ts.agent.params)[0])
+    assert np.isfinite(leaf).all()
+    assert np.isfinite(np.asarray(ts.sf)).all()
