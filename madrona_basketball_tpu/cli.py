@@ -129,6 +129,8 @@ class EpisodeRecorder:
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    from .utils.profiling import enable_compile_cache
+    enable_compile_cache()
     if args.distributed:
         from .parallel.distributed import init_distributed
         n = init_distributed()

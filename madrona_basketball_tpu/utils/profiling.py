@@ -27,3 +27,19 @@ def trace(log_dir: str = "/tmp/mbtpu_profile"):
 def annotate(name: str):
     """Named region inside a trace (shows up on the TraceViewer timeline)."""
     return jax.profiler.TraceAnnotation(name)
+
+
+def enable_compile_cache(path: str | None = None):
+    """Turn on JAX's persistent compilation cache (repeat CLI runs skip
+    the ~25 s train-iteration compile).  Honors JAX_COMPILATION_CACHE_DIR
+    if already set; pass path=None for the default under ~/.cache."""
+    import os
+    if os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+        return
+    path = path or os.path.join(
+        os.path.expanduser("~"), ".cache", "madrona_basketball_tpu",
+        "jax_cache")
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
