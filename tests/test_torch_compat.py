@@ -122,3 +122,14 @@ def test_torch_import_from_arrays():
     assert ap.params["params"]["Dense_2"]["kernel"].shape == (32, 19)
     assert ap.params["params"]["Dense_3"]["kernel"].shape == (32, 1)
     assert float(ap.obs_rms.count) == 12345.0
+
+
+def test_torch_import_architecture_mismatch_rejected(tmp_path):
+    """A .pth with a different architecture fails at load time with both
+    shape trees named (not as an opaque downstream shape error)."""
+    from madrona_basketball_tpu.utils.checkpoint import load_agent
+    ref = _make_torch_agent(num_channels=64, seed=4)
+    path = tmp_path / "wide_5000.pth"
+    torch.save(ref.state_dict_reference_keys(), str(path))
+    with pytest.raises(ValueError, match="does not match"):
+        load_agent(str(path))

@@ -74,3 +74,12 @@ def test_shuffle_block_warns_when_not_dividing():
                    update_epochs=1, shuffle_block=7)
     with pytest.warns(UserWarning, match="shuffle_block=7"):
         make_minibatch_update(hp)
+
+
+def test_enable_compile_cache_honors_env(monkeypatch, tmp_path):
+    from madrona_basketball_tpu.utils.profiling import enable_compile_cache
+    monkeypatch.setenv("JAX_COMPILATION_CACHE_DIR", str(tmp_path / "env"))
+    before = jax.config.jax_compilation_cache_dir
+    enable_compile_cache(str(tmp_path / "explicit"))
+    # env var wins: the helper must not override it
+    assert jax.config.jax_compilation_cache_dir == before
