@@ -98,3 +98,49 @@ def test_dryrun_multichip_entry():
     sys.path.insert(0, "/root/repo")
     import __graft_entry__ as ge
     ge.dryrun_multichip(8)
+
+
+def test_multistep_kernel_under_shard_map():
+    """The K-tick kernel with worlds sharded over the data mesh produces
+    the same trajectories as unsharded sequential stepping — validates
+    the multi-chip path of the flagship held-action kernel (external
+    noise; the on-chip-PRNG mode differs only in where draws come from)."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from madrona_basketball_tpu.ops import layout
+    from madrona_basketball_tpu.ops.fused_step import (
+        fused_step_xla, make_fused_multistep, pack_multistep_noise)
+
+    cfg = SimConfig()
+    mesh = make_mesh()
+    n_dev = mesh.size
+    per_shard, K = 64, 3
+    W = per_shard * n_dev
+
+    st = engine.init_batch(cfg, jax.random.PRNGKey(0), W)
+    sf, si = layout.pack(st)
+    rng = np.random.RandomState(11)
+    chunks = []
+    for _ in range(K):
+        shot = rng.uniform(-1, 1, (layout.N_NOISE_ROWS - 1, W))
+        last = rng.uniform(0, 1, (1, W))
+        chunks.append(jnp.asarray(np.concatenate([shot, last]), jnp.float32))
+    noise = pack_multistep_noise(chunks)
+
+    kern = make_fused_multistep(cfg, per_shard, K, interpret=True,
+                                external_noise=True)
+    row = P(None, "data")
+    sharded = shard_map(kern, mesh=mesh, in_specs=(row, row, row),
+                        out_specs=(row, row, row), check_rep=False)
+    put = lambda x: jax.device_put(x, NamedSharding(mesh, row))  # noqa
+    sf_m, si_m, obs_m = sharded(put(noise), put(sf), put(si))
+
+    sf_s, si_s = sf, si
+    for t in range(K):
+        sf_s, si_s, obs_s = fused_step_xla(cfg, sf_s, si_s, chunks[t])
+
+    np.testing.assert_allclose(np.asarray(sf_m), np.asarray(sf_s), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(si_m), np.asarray(si_s))
+    np.testing.assert_allclose(np.asarray(obs_m), np.asarray(obs_s),
+                               atol=1e-5)
