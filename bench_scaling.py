@@ -102,6 +102,35 @@ def sweep(per_device_worlds: int = 4096, rollout_steps: int = 32,
             best = min(best, time.perf_counter() - t0)
         sim_rate = sim_steps * W / best
 
+        # ---- (a2) held-action stepping: multi-step kernel under
+        # shard_map (TPU only: the kernel draws on-chip PRNG noise;
+        # each shard offsets the seed by its mesh position) ----
+        ms_rate = 0.0
+        if on_tpu:
+            from madrona_basketball_tpu.ops.fused_step import \
+                make_fused_multistep
+            K = 2000
+            ms_kern = make_fused_multistep(cfg, per_device_worlds, K)
+
+            def ms_local(seed, sf, si):
+                shard_seed = seed + jax.lax.axis_index("data") * 7919
+                return ms_kern(shard_seed, sf, si)
+
+            ms_sharded = jax.jit(shard_map(
+                ms_local, mesh=mesh, in_specs=(P(), row, row),
+                out_specs=(row, row, row), check_rep=False))
+            import jax.numpy as jnp
+            seed = jnp.zeros((1,), jnp.int32)
+            msf, msi, _ = ms_sharded(seed, sf, si)
+            _fetch(msf)
+            best = float("inf")
+            for r in range(reps):
+                t0 = time.perf_counter()
+                msf, msi, _ = ms_sharded(seed + r + 1, msf, msi)
+                _fetch(msf)
+                best = min(best, time.perf_counter() - t0)
+            ms_rate = K * W / best
+
         # ---- (b) full fused PPO train iteration ----
         hp = PPOParams(num_envs=W, num_rollout_steps=rollout_steps)
         ts = shard_fused_train_state(
@@ -121,13 +150,16 @@ def sweep(per_device_worlds: int = 4096, rollout_steps: int = 32,
 
         base_sim = base_sim or sim_rate
         base_train = base_train or train_rate
-        print(json.dumps({
+        rec = {
             "devices": n, "worlds": W,
             "sim_steps_per_sec": round(sim_rate, 1),
             "train_env_steps_per_sec": round(train_rate, 1),
             "sim_efficiency": round(sim_rate / (base_sim * n), 3),
             "train_efficiency": round(train_rate / (base_train * n), 3),
-        }))
+        }
+        if ms_rate:
+            rec["multistep_steps_per_sec"] = round(ms_rate, 1)
+        print(json.dumps(rec))
 
 
 if __name__ == "__main__":
