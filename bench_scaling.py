@@ -13,6 +13,9 @@ Prints one JSON line per n:
   {"devices": n, "worlds": W, "sim_steps_per_sec": ..,
    "train_env_steps_per_sec": .., "sim_efficiency": ..,
    "train_efficiency": ..}
+On TPU each line additionally carries "multistep_steps_per_sec" — the
+held-action multi-step kernel under shard_map (omitted elsewhere; the
+on-chip PRNG is Mosaic-only).
 
 Timing is chained-launch, fetch-synced (see bench.py for why).
 """

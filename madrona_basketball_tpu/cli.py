@@ -134,12 +134,13 @@ def main(argv=None):
     if args.distributed:
         from .parallel.distributed import init_distributed
         n = init_distributed()
-        print(f"jax.distributed: {jax.process_count()} process(es), "
-              f"{n} global device(s)")
     # Multi-host: only process 0 owns host-side I/O (checkpoints on a
     # shared filesystem, console logs, TensorBoard, viewer recordings) —
     # every process would otherwise clobber the same paths.
     is_main = jax.process_index() == 0
+    if args.distributed and is_main:
+        print(f"jax.distributed: {jax.process_count()} process(es), "
+              f"{n} global device(s)")
     model_name = args.model_name or \
         f"MadronaBasketball__{args.seed}__{int(time.time())}"
 
@@ -156,7 +157,7 @@ def main(argv=None):
         vf_coef=args.vf_coef, max_grad_norm=args.max_grad_norm,
         trainee_idx=args.trainee_idx,
         use_frozen=args.frozen_checkpoint is not None,
-        record_world0=args.viewer,
+        record_world0=args.viewer and is_main,
         shuffle_block=args.shuffle_block,
     )
 
@@ -167,12 +168,13 @@ def main(argv=None):
     frozen = load_agent(args.frozen_checkpoint, template) \
         if args.frozen_checkpoint else None
 
-    print("🎯 TRAINING CONFIGURATION:")
-    print(f"   Trainee Agent Index: {hp.trainee_idx}")
-    print(f"   Frozen Checkpoint: {args.frozen_checkpoint}")
-    print(f"   Model: {model_name}  Envs: {hp.num_envs}  "
-          f"Iters: {args.num_iterations}")
-    print(f"   Devices: {jax.devices()}")
+    if is_main:
+        print("🎯 TRAINING CONFIGURATION:")
+        print(f"   Trainee Agent Index: {hp.trainee_idx}")
+        print(f"   Frozen Checkpoint: {args.frozen_checkpoint}")
+        print(f"   Model: {model_name}  Envs: {hp.num_envs}  "
+              f"Iters: {args.num_iterations}")
+        print(f"   Devices: {jax.devices()}")
 
     import jax as _jax
     backend = args.backend
@@ -186,8 +188,9 @@ def main(argv=None):
         if hp.num_envs % mesh.size:
             raise SystemExit(f"--num-envs {hp.num_envs} must divide evenly "
                              f"over {mesh.size} devices")
-        print(f"Data-parallel over {mesh.size} devices "
-              f"({hp.num_envs // mesh.size} worlds each)")
+        if is_main:
+            print(f"Data-parallel over {mesh.size} devices "
+                  f"({hp.num_envs // mesh.size} worlds each)")
 
     if backend == "structured":
         ts = init_train_state(cfg, hp, net, key, agent=agent, frozen=frozen)

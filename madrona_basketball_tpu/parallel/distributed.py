@@ -27,19 +27,24 @@ def init_distributed(coordinator_address: str | None = None,
     normal path on Cloud TPU pod slices.  No-ops gracefully when already
     initialized or single-process.
     """
-    # No-op when already initialized (checked up front: post-hoc message
-    # matching is unreliable — JAX's double-init error doesn't name it).
+    # No-op when already initialized.  Checked up front via the private
+    # client handle (best-effort: any failure of the probe falls through
+    # to initialize(), whose double-init RuntimeError is also caught).
     try:
         from jax._src import distributed as _dist
         if getattr(_dist.global_state, "client", None) is not None:
             return len(jax.devices())
-    except ImportError:
+    except Exception:
         pass
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
             process_id=process_id)
+    except RuntimeError as e:
+        msg = str(e).lower()
+        if "once" not in msg and "already" not in msg:
+            raise
     except ValueError as e:
         if coordinator_address or num_processes or process_id is not None:
             raise  # explicit-but-incomplete config is a real error

@@ -34,12 +34,18 @@ def enable_compile_cache(path: str | None = None):
     the ~25 s train-iteration compile).  Honors JAX_COMPILATION_CACHE_DIR
     if already set; pass path=None for the default under ~/.cache."""
     import os
-    if os.environ.get("JAX_COMPILATION_CACHE_DIR"):
-        return
+    if os.environ.get("JAX_COMPILATION_CACHE_DIR") or \
+            jax.config.jax_compilation_cache_dir:
+        return  # respect an existing env or programmatic setting
     path = path or os.path.join(
         os.path.expanduser("~"), ".cache", "madrona_basketball_tpu",
         "jax_cache")
-    os.makedirs(path, exist_ok=True)
+    try:
+        os.makedirs(path, exist_ok=True)
+    except OSError as e:
+        import warnings
+        warnings.warn(f"compile cache disabled ({e})", stacklevel=2)
+        return
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

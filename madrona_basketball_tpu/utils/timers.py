@@ -1,10 +1,11 @@
 """Wall-clock phase timers + episode stats printing.
 
 Port of PPOTimer (scripts/ppo_stats.py:53-150) with the same phase taxonomy
-(iter / rollout / sim / inference / update) and FPS getters.  On TPU the
-rollout+update is one fused device program, so `sim`/`inference` sub-phases
-only exist when stepping through the host-loop env; the fused path reports
-`iter`/`rollout`/`update` around `jax.block_until_ready` fences.
+(iter / rollout / sim / inference / update) and FPS getters.  The on-device
+trainers compile rollout+GAE+update into ONE program, so only `iter` is
+observable from the host there (print() says so); the sub-phases exist for
+host-loop drivers (e.g. stepping BasketballEnv per tick) that can fence and
+time them like the reference does.
 """
 
 from __future__ import annotations
