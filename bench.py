@@ -42,6 +42,8 @@ def _best_of(tries, run):
 
 
 def main(num_worlds: int = 8192, n_steps: int = 1000):
+    from madrona_basketball_tpu.utils.profiling import enable_compile_cache
+    enable_compile_cache()
     import numpy as np
 
     import jax.numpy as jnp
