@@ -17,14 +17,22 @@ a remote-device tunnel `block_until_ready` can return before the device
 work is observable, which over-reports; a fetch includes one round-trip of
 latency, which at worst under-reports slightly.
 
-Engines measured (fastest wins the headline):
+Engines measured (fastest wins the headline — every candidate executes
+ALL 19 systems including fillObservations on EVERY tick, and re-blanks
+the trainee's actions every tick, i.e. the exact scripts/run.py workload):
   * structured `jit(vmap(step))` pytree engine — host-dispatch loop
     (the literal scripts/run.py shape)
   * fused single-Pallas-kernel engine — host-dispatch loop
   * fused kernel inside `lax.scan` — the rollout shape (500 ticks/call)
-  * multi-step kernel — K ticks per launch with the fleet state resident
-    in VMEM and noise from the on-chip PRNG (the held-action stepping
-    shape; TPU only)
+  * multi-step kernel with obs_every_tick=True + blank_agent=0 — K ticks
+    per launch, fleet state resident in VMEM, noise from the on-chip
+    PRNG, observations computed and stored every tick, trainee actions
+    zeroed every tick (TPU only)
+
+A held-action variant of the multi-step kernel (obs materialized only on
+the final tick — a DIFFERENT, lighter workload useful for eval bursts)
+is reported to stderr as fused_multistep_heldobs_fps but intentionally
+excluded from the headline.
 """
 
 import json
@@ -122,32 +130,44 @@ def main(num_worlds: int = 8192, n_steps: int = 1000):
     scan_fps = scan_reps * 500 * num_worlds / _best_of(3, run_scan)
 
     # --- multi-step kernel: K ticks per launch, VMEM-resident state,
-    # on-chip PRNG, obs materialized on the final tick only ---
+    # on-chip PRNG.  Headline variant computes + stores obs every tick
+    # and zeroes the trainee's actions every tick (the scripts/run.py
+    # per-step workload); the held-obs variant (obs on final tick only)
+    # is stderr-only.
     multistep_fps = 0.0
+    multistep_held_fps = 0.0
     if on_tpu:
         K = 5000
-        ms = jax.jit(make_fused_multistep(cfg, num_worlds, K))
         seed0 = jnp.zeros((1,), jnp.int32)
-        msf, msi, _ = ms(seed0, eng.sf, eng.si)
-        fetch(msf)
         ms_reps = 3
 
-        def run_multistep():
-            nonlocal msf, msi
-            t0 = time.perf_counter()
-            for r in range(ms_reps):
-                msf, msi, _ = ms(seed0 + r + 1, msf, msi)
+        def time_multistep(ms):
+            msf, msi, _ = ms(seed0, eng.sf, eng.si)
             fetch(msf)
-            return time.perf_counter() - t0
+            state = {"sf": msf, "si": msi}
 
-        multistep_fps = (ms_reps * K * num_worlds /
-                         _best_of(3, run_multistep))
+            def run():
+                t0 = time.perf_counter()
+                for r in range(ms_reps):
+                    state["sf"], state["si"], _ = ms(
+                        seed0 + r + 1, state["sf"], state["si"])
+                fetch(state["sf"])
+                return time.perf_counter() - t0
+
+            return ms_reps * K * num_worlds / _best_of(3, run)
+
+        multistep_fps = time_multistep(jax.jit(make_fused_multistep(
+            cfg, num_worlds, K, obs_every_tick=True, blank_agent=0)))
+        multistep_held_fps = time_multistep(jax.jit(make_fused_multistep(
+            cfg, num_worlds, K)))
 
     print(f"[bench] device={jax.devices()[0].device_kind} "
           f"worlds={num_worlds} structured_fps={structured_fps:,.0f} "
           f"fused_dispatch_fps={fused_fps:,.0f} "
           f"fused_scan_fps={scan_fps:,.0f} "
-          f"fused_multistep_fps={multistep_fps:,.0f}", file=sys.stderr)
+          f"fused_multistep_fps={multistep_fps:,.0f} "
+          f"fused_multistep_heldobs_fps={multistep_held_fps:,.0f}",
+          file=sys.stderr)
 
     value = max(structured_fps, fused_fps, scan_fps, multistep_fps)
     print(json.dumps({

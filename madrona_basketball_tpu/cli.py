@@ -56,6 +56,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="fused = single-Pallas-kernel sim (TPU fast path); "
                         "structured = jit(vmap) pytree engine; "
                         "xla-rows = row layout without the Pallas kernel")
+    p.add_argument("--rollout-kernel", action="store_true", default=False,
+                   help="run the whole T-step rollout (policy forward + "
+                        "sampling + sim) as ONE VMEM-resident Pallas "
+                        "kernel (TPU only; incompatible with --viewer)")
     p.add_argument("--data-parallel", action="store_true", default=False,
                    help="shard worlds over ALL attached devices (data "
                         "mesh axis); learner replicates and gradient "
@@ -129,7 +133,8 @@ class EpisodeRecorder:
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
-    from .utils.profiling import enable_compile_cache
+    from .utils.profiling import enable_compile_cache, honor_platform_env
+    honor_platform_env()
     enable_compile_cache()
     if args.distributed:
         from .parallel.distributed import init_distributed
@@ -157,7 +162,10 @@ def main(argv=None):
         vf_coef=args.vf_coef, max_grad_norm=args.max_grad_norm,
         trainee_idx=args.trainee_idx,
         use_frozen=args.frozen_checkpoint is not None,
-        record_world0=args.viewer and is_main,
+        # Uniform across processes: the jitted program must be identical
+        # on every host under --distributed (SPMD); only the host-side
+        # recorder below is gated on is_main.
+        record_world0=args.viewer,
         shuffle_block=args.shuffle_block,
     )
 
@@ -206,7 +214,7 @@ def main(argv=None):
         train_iteration = make_train_iteration_fused(
             cfg, hp, net,
             backend="pallas" if backend == "fused" else "xla",
-            mesh=mesh)
+            mesh=mesh, rollout_kernel=args.rollout_kernel)
         if mesh is not None:
             from .parallel.mesh import shard_fused_train_state
             ts = shard_fused_train_state(ts, mesh)

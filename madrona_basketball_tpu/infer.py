@@ -146,7 +146,8 @@ def main(argv=None):
     p.add_argument("--num-envs", type=int, default=10)
     p.add_argument("--test-seed", type=int, default=0)
     args = p.parse_args(argv)
-    from .utils.profiling import enable_compile_cache
+    from .utils.profiling import enable_compile_cache, honor_platform_env
+    honor_platform_env()
     enable_compile_cache()
 
     if args.model_name is None:

@@ -1,0 +1,339 @@
+"""Policy-in-the-loop rollout: T PPO steps as ONE Pallas kernel.
+
+The reference's training rollout crosses the Python->C++ boundary and
+launches the policy + the sim megakernel once per step
+(scripts/ppo.py:65-139, scripts/env.py:125-170).  The round-1 TPU trainer
+already fused that into a `lax.scan` (ppo/train_fused.py), but each tick
+still pays one Pallas launch for the sim plus an XLA subgraph for the
+policy, with the full fleet state round-tripping HBM every tick.
+
+This kernel is the TPU-native answer to the reference megakernel for the
+TRAINING shape: the whole fleet state stays VMEM-resident for all T ticks,
+and each tick runs
+
+    policy MLP (MXU) -> Gumbel-max action sampling -> action write ->
+    all 19 game systems incl. fillObservations (VPU) -> trajectory row
+    writes (obs/action/logp/value/reward/done)
+
+with noise from the on-chip PRNG.  Actions change every tick and
+observations are computed every tick — the honest PPO rollout workload,
+not held-action stepping.  Per-tick trajectory blocks stream to HBM
+through the output pipeline while the next tick computes.
+
+The in-kernel policy is numerically the same function as
+`models.agent.forward` (flax ActorCritic apply + `models.action.sample`):
+obs RMS-normalize (clamp +-5, eps 1e-5) -> 2x(Dense 32 + LayerNorm
+(eps 1e-6, fast variance) + ReLU) -> 19-logit actor + 1 value head ->
+one Gumbel tensor + per-bucket argmax.  `pack_policy` lays the flax
+parameter pytree out as five small matrices sized for VMEM broadcast.
+
+Grid: (W / block, T) — world blocks outer, ticks inner.  State and obs
+output blocks have t-invariant index maps, so Mosaic keeps them resident
+in VMEM across the T inner steps and flushes once per world block (the
+same revisiting contract the multi-step kernel relies on).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .. import constants as C
+from ..config import SimConfig
+from .fused_step import _bits_to_unit, _load_dicts, _noise_dict, \
+    _store_rows, pick_block, step_fields
+from .layout import (F_IDX, I_IDX, N_F32_ROWS, N_I32_ROWS, N_NOISE_ROWS,
+                     N_OBS_ROWS)
+
+F32 = jnp.float32
+I32 = jnp.int32
+A = C.NUM_AGENTS
+N_LOGITS = sum(C.ACTION_BUCKETS)  # 19
+OBS = C.OBS_SIZE                  # 128
+
+# Trajectory row layout (per tick, per world).  Padded to a multiple of 8
+# sublanes so per-tick blocks tile cleanly.
+R_ACT = OBS                # 6 action rows
+R_LOGP = R_ACT + 6
+R_VALUE = R_LOGP + 1
+R_REW = R_VALUE + 1
+R_DONE = R_REW + 1
+ROLL_ROWS = ((R_DONE + 1 + 7) // 8) * 8  # 144
+
+# External-noise chunk layout (test path): rows 0..8 sim noise (same
+# semantics as layout.N_NOISE_ROWS), rows 16..34 trainee uniforms,
+# rows 35..53 frozen uniforms, padded to 56 (dynamic sublane offsets must
+# be divisible by 8).
+EXT_TRAINEE_U = 16
+EXT_FROZEN_U = EXT_TRAINEE_U + N_LOGITS
+EXT_NOISE_CHUNK = ((EXT_FROZEN_U + N_LOGITS + 7) // 8) * 8  # 56
+
+_ACTION_NAMES = ("a_move", "a_angle", "a_rotate", "a_grab", "a_pass",
+                 "a_shoot")
+RMS_EPS = 1e-5  # models/normalize.py EPS
+LN_EPS = 1e-6   # flax nn.LayerNorm default
+
+
+def pack_policy(ap) -> tuple:
+    """AgentParams -> (nrm, w1t, w2t, wht, bias) VMEM-friendly matrices.
+
+    nrm  (OBS, 2):  [:, 0] obs mean, [:, 1] rsqrt(obs var + 1e-5)
+    w1t  (32, OBS), w2t (32, 32): pre-transposed Dense kernels
+    wht  (N_LOGITS + 1, 32): actor head rows + value head row
+    bias (32, 8): cols = b1, ln1.scale, ln1.bias, b2, ln2.scale, ln2.bias,
+                  head bias (N_LOGITS + 1 entries, zero-padded), unused
+    """
+    pp = ap.params["params"]
+    w1 = pp["Dense_0"]["kernel"]
+    w2 = pp["Dense_1"]["kernel"]
+    wa = pp["Dense_2"]["kernel"]
+    wv = pp["Dense_3"]["kernel"]
+    h = w1.shape[1]
+    nrm = jnp.stack([ap.obs_rms.mean,
+                     jax.lax.rsqrt(ap.obs_rms.var + RMS_EPS)],
+                    axis=1).astype(F32)
+    wht = jnp.concatenate([wa.T, wv.T], axis=0).astype(F32)
+    head_b = jnp.concatenate([pp["Dense_2"]["bias"], pp["Dense_3"]["bias"]])
+    head_b = jnp.pad(head_b, (0, h - head_b.shape[0]))
+    bias = jnp.stack([
+        pp["Dense_0"]["bias"], pp["LayerNorm_0"]["scale"],
+        pp["LayerNorm_0"]["bias"], pp["Dense_1"]["bias"],
+        pp["LayerNorm_1"]["scale"], pp["LayerNorm_1"]["bias"],
+        head_b, jnp.zeros((h,), F32)], axis=1).astype(F32)
+    return (nrm, w1.T.astype(F32), w2.T.astype(F32), wht, bias)
+
+
+def _layer_norm(x, scale, b):
+    """Feature axis 0; flax fast-variance form, eps 1e-6."""
+    mu = jnp.mean(x, axis=0, keepdims=True)
+    mu2 = jnp.mean(x * x, axis=0, keepdims=True)
+    var = jnp.maximum(mu2 - mu * mu, 0.0)
+    return (x - mu) * jax.lax.rsqrt(var + LN_EPS) * scale + b
+
+
+def policy_forward_rows(obs_block, nrm, w1t, w2t, wht, bias):
+    """(OBS, B) raw obs -> (logits (N_LOGITS, B), value (B,)).
+
+    Same math as models.agent.forward's normalize + net.apply, expressed
+    feature-major so the Dense layers hit the MXU as (32, OBS) @ (OBS, B).
+    """
+    x = jnp.clip((obs_block - nrm[:, 0:1]) * nrm[:, 1:2], -5.0, 5.0)
+    h = jnp.dot(w1t, x, preferred_element_type=F32) + bias[:, 0:1]
+    h = jnp.maximum(_layer_norm(h, bias[:, 1:2], bias[:, 2:3]), 0.0)
+    h = jnp.dot(w2t, h, preferred_element_type=F32) + bias[:, 3:4]
+    h = jnp.maximum(_layer_norm(h, bias[:, 4:5], bias[:, 5:6]), 0.0)
+    out = jnp.dot(wht, h, preferred_element_type=F32) + \
+        bias[0:N_LOGITS + 1, 6:7]
+    return out[0:N_LOGITS], out[N_LOGITS]
+
+
+def gumbel_from_uniform(u):
+    """u in [0, 1) -> standard Gumbel, guarding u == 0."""
+    return -jnp.log(-jnp.log(jnp.maximum(u, 1e-20)))
+
+
+def sample_rows(logits, gumbel):
+    """Gumbel-max per bucket over (N_LOGITS, B) rows.
+
+    Returns (actions: list of 6 (B,) i32, summed log-prob (B,)).  The
+    strict-> comparison chain keeps the FIRST maximal index, matching
+    jnp.argmax in models.action.sample.
+    """
+    noisy = logits + gumbel
+    actions = []
+    total_logp = None
+    off = 0
+    for n in C.ACTION_BUCKETS:
+        best_noisy = noisy[off]
+        sel_logit = logits[off]
+        best_idx = jnp.zeros_like(logits[off], I32)
+        m = logits[off]
+        for r in range(1, n):
+            better = noisy[off + r] > best_noisy
+            best_noisy = jnp.where(better, noisy[off + r], best_noisy)
+            best_idx = jnp.where(better, r, best_idx)
+            sel_logit = jnp.where(better, logits[off + r], sel_logit)
+            m = jnp.maximum(m, logits[off + r])
+        sumexp = jnp.zeros_like(m)
+        for r in range(n):
+            sumexp = sumexp + jnp.exp(logits[off + r] - m)
+        lp = sel_logit - m - jnp.log(sumexp)
+        total_logp = lp if total_logp is None else total_logp + lp
+        actions.append(best_idx)
+        off += n
+    return actions, total_logp
+
+
+def make_fused_rollout(cfg: SimConfig, num_worlds: int, n_steps: int,
+                       trainee_idx: int, use_frozen: bool,
+                       block: int = 1024, interpret: bool = False,
+                       external_noise: bool = False):
+    """Build the T-step policy-in-the-loop rollout kernel.
+
+    Returns
+        rollout(rng, sf, si, obs0, *trainee_mats[, *frozen_mats])
+            -> (sf', si', obs', traj)
+    where traj is (n_steps, ROLL_ROWS, W): rows 0..127 the obs the policy
+    saw, 128..133 sampled actions, 134 summed log-prob, 135 value
+    (normalized space), 136 reward and 137 done AFTER the tick — exactly
+    the per-step tuple ppo/train_fused.py's scan body emits.
+
+    `rng` is a (1,) int32 seed; each (block, tick) grid step reseeds the
+    on-chip PRNG with (seed, block, tick) so draws are independent and
+    launch-deterministic.  With external_noise=True, `rng` is instead a
+    (n_steps * EXT_NOISE_CHUNK, W) matrix of per-tick sim noise + policy
+    uniforms (see pack_rollout_noise) — the test path proving kernel ==
+    XLA rollout on identical draws.
+
+    The initial obs0 must be the observation produced by the step before
+    the rollout starts (the reset pulse), matching scripts/ppo.py:64-67.
+    """
+    assert n_steps >= 1
+    blk = pick_block(num_worlds, block, max_block=1024)
+    grid = (num_worlds // blk, n_steps)
+    ti_lo = trainee_idx * OBS
+    fi_lo = (1 - trainee_idx) * OBS
+    t_rows = [I_IDX[f"a{trainee_idx}.{n}"] for n in _ACTION_NAMES]
+    f_rows = [I_IDX[f"a{1 - trainee_idx}.{n}"] for n in _ACTION_NAMES]
+    rew_row = F_IDX[f"a{trainee_idx}.reward"]
+    done_row = F_IDX[f"a{trainee_idx}.done"]
+
+    n_param = 5 * (2 if use_frozen else 1)
+
+    def kernel(*refs):
+        rng_ref = refs[0]
+        sf_in, si_in, obs0_in = refs[1:4]
+        tp = tuple(r[...] for r in refs[4:9])
+        fp = tuple(r[...] for r in refs[9:14]) if use_frozen else None
+        sf_out, si_out, obs_out, traj = refs[4 + n_param:]
+        b = pl.program_id(0)
+        t = pl.program_id(1)
+
+        @pl.when(t == 0)
+        def _():
+            sf_out[...] = sf_in[...]
+            si_out[...] = si_in[...]
+            obs_out[...] = obs0_in[...]
+
+        if external_noise:
+            chunk = rng_ref[...]  # (EXT_NOISE_CHUNK, blk)
+            sim_noise = [chunk[r] for r in range(N_NOISE_ROWS)]
+            u_t = chunk[EXT_TRAINEE_U:EXT_TRAINEE_U + N_LOGITS]
+            u_f = chunk[EXT_FROZEN_U:EXT_FROZEN_U + N_LOGITS]
+        else:
+            # prng_seed accepts at most 2 operands; fold (block, tick)
+            # into one distinct value per grid step.
+            pltpu.prng_seed(rng_ref[0], b * n_steps + t)
+            n_draw = N_NOISE_ROWS + 2 * N_LOGITS
+            u = _bits_to_unit(pltpu.bitcast(
+                pltpu.prng_random_bits((n_draw, blk)), jnp.uint32))
+            sim_noise = [2.0 * u[r] - 1.0
+                         for r in range(N_NOISE_ROWS - 1)]
+            sim_noise.append(u[N_NOISE_ROWS - 1])
+            u_t = u[N_NOISE_ROWS:N_NOISE_ROWS + N_LOGITS]
+            u_f = u[N_NOISE_ROWS + N_LOGITS:]
+
+        # ---- policy forward + sampling on the PRE-TICK observation ----
+        obs_t = obs_out[ti_lo:ti_lo + OBS, :]
+        logits, value = policy_forward_rows(obs_t, *tp)
+        actions, logp = sample_rows(logits, gumbel_from_uniform(u_t))
+        for j in range(6):
+            si_out[t_rows[j]] = actions[j]
+        if use_frozen:
+            f_logits, _ = policy_forward_rows(
+                obs_out[fi_lo:fi_lo + OBS, :], *fp)
+            f_actions, _ = sample_rows(f_logits, gumbel_from_uniform(u_f))
+            for j in range(6):
+                si_out[f_rows[j]] = f_actions[j]
+
+        traj[0, 0:OBS, :] = obs_t
+        for j in range(6):
+            traj[0, R_ACT + j] = actions[j].astype(F32)
+        traj[0, R_LOGP] = logp
+        traj[0, R_VALUE] = value
+        for r in range(R_DONE + 1, ROLL_ROWS):
+            traj[0, r] = jnp.zeros((blk,), F32)
+
+        # ---- sim tick (all 19 systems, obs computed) ----
+        sf = [sf_out[r] for r in range(N_F32_ROWS)]
+        si = [si_out[r] for r in range(N_I32_ROWS)]
+        ag, ball, game, hoops = _load_dicts(sf, si)
+        ag, ball, game, hoops, obs = step_fields(
+            cfg, ag, ball, game, hoops, _noise_dict(sim_noise),
+            compute_obs=True)
+        sf2, si2 = _store_rows(ag, ball, game, hoops)
+        for r in range(N_F32_ROWS):
+            sf_out[r] = sf2[r]
+        for r in range(N_I32_ROWS):
+            si_out[r] = si2[r]
+        for r in range(N_OBS_ROWS):
+            obs_out[r] = obs[r]
+        traj[0, R_REW] = sf2[rew_row]
+        traj[0, R_DONE] = sf2[done_row]
+
+    def state_spec(rows):
+        return pl.BlockSpec((rows, blk), lambda b, t: (0, b),
+                            memory_space=pltpu.VMEM)
+
+    def const_spec(shape):
+        return pl.BlockSpec(shape, lambda b, t: (0, 0),
+                            memory_space=pltpu.VMEM)
+
+    rng_spec = (pl.BlockSpec((EXT_NOISE_CHUNK, blk), lambda b, t: (t, b),
+                             memory_space=pltpu.VMEM)
+                if external_noise
+                else pl.BlockSpec(memory_space=pltpu.SMEM))
+    h = 32
+    policy_specs = [const_spec((OBS, 2)), const_spec((h, OBS)),
+                    const_spec((h, h)), const_spec((N_LOGITS + 1, h)),
+                    const_spec((h, 8))]
+    in_specs = ([rng_spec, state_spec(N_F32_ROWS), state_spec(N_I32_ROWS),
+                 state_spec(N_OBS_ROWS)] +
+                policy_specs * (2 if use_frozen else 1))
+    out_specs = [state_spec(N_F32_ROWS), state_spec(N_I32_ROWS),
+                 state_spec(N_OBS_ROWS),
+                 pl.BlockSpec((1, ROLL_ROWS, blk), lambda b, t: (t, 0, b),
+                              memory_space=pltpu.VMEM)]
+    out_shape = [
+        jax.ShapeDtypeStruct((N_F32_ROWS, num_worlds), F32),
+        jax.ShapeDtypeStruct((N_I32_ROWS, num_worlds), I32),
+        jax.ShapeDtypeStruct((N_OBS_ROWS, num_worlds), F32),
+        jax.ShapeDtypeStruct((n_steps, ROLL_ROWS, num_worlds), F32),
+    ]
+
+    call = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+    )
+
+    def rollout(rng, sf, si, obs0, *policy_mats):
+        assert len(policy_mats) == n_param
+        return call(rng, sf, si, obs0, *policy_mats)
+
+    return rollout
+
+
+def pack_rollout_noise(sim_chunks, trainee_u, frozen_u):
+    """Assemble the external-noise matrix for the test path.
+
+    sim_chunks: list of T (N_NOISE_ROWS, W) sim-noise matrices
+    trainee_u / frozen_u: (T, N_LOGITS, W) uniforms in [0, 1)
+    -> (T * EXT_NOISE_CHUNK, W)
+    """
+    rows = []
+    for t, chunk in enumerate(sim_chunks):
+        W = chunk.shape[1]
+        block = jnp.zeros((EXT_NOISE_CHUNK, W), F32)
+        block = block.at[0:N_NOISE_ROWS].set(chunk)
+        block = block.at[EXT_TRAINEE_U:EXT_TRAINEE_U + N_LOGITS].set(
+            trainee_u[t])
+        block = block.at[EXT_FROZEN_U:EXT_FROZEN_U + N_LOGITS].set(
+            frozen_u[t])
+        rows.append(block)
+    return jnp.concatenate(rows, axis=0)

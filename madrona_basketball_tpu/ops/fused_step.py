@@ -1132,7 +1132,9 @@ def pack_multistep_noise(noise_steps):
 
 def make_fused_multistep(cfg: SimConfig, num_worlds: int, n_steps: int,
                          block: int = 2048, interpret: bool = False,
-                         external_noise: bool = False):
+                         external_noise: bool = False,
+                         obs_every_tick: bool = False,
+                         blank_agent: int | None = None):
     """Build the K-step Pallas kernel.
 
     Returns step(seed, sf, si) -> (sf', si', obs) advancing every world
@@ -1142,6 +1144,20 @@ def make_fused_multistep(cfg: SimConfig, num_worlds: int, n_steps: int,
     instead takes a precomputed (n_steps * NOISE_CHUNK, W) noise matrix
     (see pack_multistep_noise) in place of the seed — used by tests to
     prove K-step == K x single-step on identical draws.
+
+    obs_every_tick=True runs fillObservations (system 18) on EVERY tick
+    and stores the 256 obs rows into the (VMEM-resident) obs output block
+    each tick, overwriting — the reference executes fillObservations
+    every step (src/game.cpp:1518) and exports obs into the same buffer,
+    so this is the honest per-tick workload for benchmarking.  With
+    False (default), intermediate ticks skip system 18 (nothing else
+    reads obs within the chain) — the fast shape for eval bursts where
+    only the final observation matters.
+
+    blank_agent=i zeroes agent i's six action rows at the start of every
+    tick — the per-step trainee zero-write of the reference benchmark
+    (scripts/run.py:13-14 via scripts/env.py:125-147; the other agent
+    keeps whatever hardCodeDefense assigned, as there).
 
     Layout: when the world count allows (W % 1024 == 0), each field is
     processed as an (8, W/8) 2-D tile instead of a (W,) row — a 1-D row
@@ -1212,7 +1228,14 @@ def make_fused_multistep(cfg: SimConfig, num_worlds: int, n_steps: int,
         sf_out[...] = sf_in[...]
         si_out[...] = si_in[...]
 
+        blank_rows = [] if blank_agent is None else [
+            I_IDX[f"a{blank_agent}.{n}"] for n in
+            ("a_move", "a_angle", "a_rotate", "a_grab", "a_pass",
+             "a_shoot")]
+
         def tick(t, compute_obs):
+            for r in blank_rows:
+                si_out[r] = jnp.zeros_like(si_out[r])
             sf = [sf_out[r] for r in range(N_F32_ROWS)]
             si = [si_out[r] for r in range(N_I32_ROWS)]
             if external_noise:
@@ -1229,16 +1252,23 @@ def make_fused_multistep(cfg: SimConfig, num_worlds: int, n_steps: int,
                 sf_out[r] = sf2[r]
             for r in range(N_I32_ROWS):
                 si_out[r] = si2[r]
-            return obs
+            if compute_obs:
+                for r in range(N_OBS_ROWS):
+                    obs_out[r] = obs[r]
 
-        def body(t, carry):
-            tick(t, compute_obs=False)
-            return carry
+        if obs_every_tick:
+            def body(t, carry):
+                tick(t, compute_obs=True)
+                return carry
 
-        jax.lax.fori_loop(0, n_steps - 1, body, 0)
-        obs = tick(n_steps - 1, compute_obs=True)
-        for r in range(N_OBS_ROWS):
-            obs_out[r] = obs[r]
+            jax.lax.fori_loop(0, n_steps, body, 0)
+        else:
+            def body(t, carry):
+                tick(t, compute_obs=False)
+                return carry
+
+            jax.lax.fori_loop(0, n_steps - 1, body, 0)
+            tick(n_steps - 1, compute_obs=True)
 
     call = pl.pallas_call(
         kernel,

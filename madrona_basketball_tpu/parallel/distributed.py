@@ -27,21 +27,34 @@ def init_distributed(coordinator_address: str | None = None,
     normal path on Cloud TPU pod slices.  No-ops gracefully when already
     initialized or single-process.
     """
-    # No-op when already initialized.  Checked up front via the private
-    # client handle (best-effort: any failure of the probe falls through
-    # to initialize(), whose double-init RuntimeError is also caught).
+    # No-op when already initialized.  Preferred probe is the public
+    # jax.distributed.is_initialized() (present since jax 0.4.x); the
+    # private-client fallback covers older releases.
     try:
-        from jax._src import distributed as _dist
-        if getattr(_dist.global_state, "client", None) is not None:
+        if jax.distributed.is_initialized():
             return len(jax.devices())
-    except Exception:
-        pass
+    except AttributeError:
+        try:
+            from jax._src import distributed as _dist
+            if getattr(_dist.global_state, "client", None) is not None:
+                return len(jax.devices())
+        except Exception:
+            pass
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
             process_id=process_id)
     except RuntimeError as e:
+        # Double-init manifests as RuntimeError; the wording ("once" /
+        # "already", checked against jax 0.9.0) is unstable across
+        # releases, so only treat it as benign after re-probing the
+        # public flag.
+        try:
+            if jax.distributed.is_initialized():
+                return len(jax.devices())
+        except AttributeError:
+            pass
         msg = str(e).lower()
         if "once" not in msg and "already" not in msg:
             raise

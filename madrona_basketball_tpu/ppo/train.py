@@ -133,6 +133,11 @@ def make_minibatch_update(hp: PPOParams):
 
     # Super-row shuffle: see PPOParams.shuffle_block.
     G = hp.shuffle_block
+    if G < 1:
+        import warnings
+        warnings.warn(f"shuffle_block={G} is invalid (must be >= 1); "
+                      "using sample-exact shuffling", stacklevel=2)
+        G = 1
     if G > 1 and hp.minibatch_size % G:
         import warnings
         warnings.warn(

@@ -79,13 +79,29 @@ def init_fused_train_state(cfg: SimConfig, hp: PPOParams, net: ActorCritic,
 
 def make_train_iteration_fused(cfg: SimConfig, hp: PPOParams,
                                net: ActorCritic, backend: str = "pallas",
-                               block: int = 2048, mesh=None):
+                               block: int = 2048, mesh=None,
+                               rollout_kernel: bool = False):
     """`mesh`: optional jax.sharding.Mesh with a 'data' axis.  When given,
     the sim kernel runs under shard_map with worlds split across devices
     (a Pallas custom call does not auto-partition); everything else (policy,
     GAE, update) stays ordinary jit code — XLA partitions it from the input
     shardings and inserts the gradient all-reduce for the replicated
-    learner."""
+    learner.
+
+    rollout_kernel=True replaces the scan-of-launches rollout with the
+    policy-in-the-loop Pallas kernel (ops/fused_rollout.py): all T ticks
+    of policy forward + sampling + sim run in ONE launch with the fleet
+    state VMEM-resident.  Same training semantics; the PRNG stream
+    differs (on-chip PRNG instead of jax.random), which is within the
+    parity contract (SURVEY §2.3 — distribution parity only).  Requires
+    backend="pallas" (TPU) and is incompatible with record_world0 (the
+    per-tick world-0 telemetry needs the scan path)."""
+    if rollout_kernel and hp.record_world0:
+        raise ValueError("rollout_kernel does not support record_world0; "
+                         "use the scan rollout (e.g. --viewer without "
+                         "--rollout-kernel)")
+    if rollout_kernel and backend != "pallas":
+        raise ValueError("rollout_kernel requires the pallas backend (TPU)")
     ti = hp.trainee_idx
     fi = 1 - ti
     T = hp.num_rollout_steps
@@ -182,6 +198,53 @@ def make_train_iteration_fused(cfg: SimConfig, hp: PPOParams,
         buf = dict(obs=obs_b, actions=act_b, values=val_b, log_probs=logp_b,
                    not_dones=nd_b, rewards=rew_b, next_value=next_value)
         return env_keys, sf, si, obs, stats, key, buf, w0
+
+    if rollout_kernel:
+        from ..ops import fused_rollout as FR
+        n_shards = 1 if mesh is None else mesh.size
+        rk = FR.make_fused_rollout(cfg, worlds_per_shard, T,
+                                   trainee_idx=ti, use_frozen=hp.use_frozen,
+                                   block=min(block, 1024))
+        if mesh is not None:
+            from jax.sharding import PartitionSpec as P
+            from jax.experimental.shard_map import shard_map
+            rs = P(None, "data")
+            n_p = 5 * (2 if hp.use_frozen else 1)
+            rk = shard_map(
+                rk, mesh=mesh,
+                in_specs=(P("data"), rs, rs, rs) + (P(),) * n_p,
+                out_specs=(rs, rs, rs, P(None, None, "data")),
+                check_rep=False)
+
+        def rollout(agent, frozen, env_keys, sf, si, obs, stats, key):  # noqa: F811
+            key, k0, ks = jax.random.split(key, 3)
+            env_keys, sf, si, obs = reset_pulse(frozen, env_keys, sf, si,
+                                                obs, k0)
+            # Per-shard independent seeds: the kernel folds only its local
+            # block index into the PRNG, so identical seeds across shards
+            # would replay identical noise.
+            seed = jax.lax.bitcast_convert_type(
+                jax.random.bits(ks, (n_shards,), jnp.uint32), I32)
+            mats = FR.pack_policy(agent)
+            if hp.use_frozen:
+                mats = mats + FR.pack_policy(frozen)
+            sf, si, obs, traj = rk(seed, sf, si, obs, *mats)
+            obs_b = jnp.swapaxes(traj[:, 0:C.OBS_SIZE, :], 1, 2)
+            act_b = jnp.swapaxes(
+                traj[:, FR.R_ACT:FR.R_ACT + 6, :], 1, 2).astype(I32)
+            logp_b = traj[:, FR.R_LOGP, :]
+            val_b = traj[:, FR.R_VALUE, :]
+            rew_b = traj[:, FR.R_REW, :]
+            done_b = traj[:, FR.R_DONE, :]
+            stats, _ = jax.lax.scan(
+                lambda st, rd: (_stats_step(st, rd[0], rd[1]), None),
+                stats, (rew_b, done_b))
+            next_value = agent_lib.evaluate(
+                net, agent, obs[ti_lo:ti_lo + C.OBS_SIZE].T)
+            buf = dict(obs=obs_b, actions=act_b, values=val_b,
+                       log_probs=logp_b, not_dones=1.0 - done_b,
+                       rewards=rew_b, next_value=next_value)
+            return env_keys, sf, si, obs, stats, key, buf, None
 
     # ---- advantages + update: shared math with ppo/train.py ----
     def compute_advantages(agent, buf):

@@ -138,7 +138,8 @@ def main(argv=None):
     p.add_argument("--checkpoint-1", type=str, default=None)
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
-    from .utils.profiling import enable_compile_cache
+    from .utils.profiling import enable_compile_cache, honor_platform_env
+    honor_platform_env()
     enable_compile_cache()
     run_league(args.num_training_cycles, args.iter_per_agent, args.num_envs,
                args.first_trainee_idx, args.model_name_0, args.model_name_1,

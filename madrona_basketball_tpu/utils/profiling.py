@@ -29,6 +29,25 @@ def annotate(name: str):
     return jax.profiler.TraceAnnotation(name)
 
 
+def honor_platform_env():
+    """Re-assert JAX_PLATFORMS over site hooks.
+
+    The deployment image installs a site hook that forces an `axon`
+    (remote-TPU-tunnel) platform AFTER the environment variable is read,
+    so `JAX_PLATFORMS=cpu python -m ...cli` would silently run on the
+    tunnel.  The jax.config knob wins over the hook; calling this early
+    in every CLI makes the env var mean what it says.  No-op when the
+    variable is unset or the backend is already initialized."""
+    import os
+    plat = os.environ.get("JAX_PLATFORMS")
+    if not plat:
+        return
+    try:
+        jax.config.update("jax_platforms", plat)
+    except RuntimeError:
+        pass  # backend already initialized; too late to switch
+
+
 def enable_compile_cache(path: str | None = None):
     """Turn on JAX's persistent compilation cache (repeat CLI runs skip
     the ~25 s train-iteration compile).  Honors JAX_COMPILATION_CACHE_DIR

@@ -262,6 +262,45 @@ def test_multistep_2d_layout_matches_sequential():
                                atol=1e-5)
 
 
+def test_multistep_obs_every_tick_and_blank_agent():
+    """The honest-benchmark variant (obs_every_tick=True, blank_agent=0)
+    must walk the same trajectory as sequential single steps that zero
+    agent 0's action rows before each tick (scripts/run.py semantics),
+    and its obs output must equal the FINAL tick's obs."""
+    from madrona_basketball_tpu.ops import layout as L
+    from madrona_basketball_tpu.ops.fused_step import (make_fused_multistep,
+                                                       pack_multistep_noise)
+    cfg = SimConfig()
+    worlds, K = 256, 4
+    s = engine.init_batch(cfg, jax.random.PRNGKey(7), worlds)
+    sf, si = layout.pack(s)
+    rng = np.random.RandomState(9)
+    chunks = []
+    for _ in range(K):
+        shot, reset = _rand_noise(rng, worlds)
+        chunks.append(noise_to_rows(jnp.asarray(shot), jnp.asarray(reset)))
+    noise = pack_multistep_noise(chunks)
+
+    ms = make_fused_multistep(cfg, worlds, K, block=128, interpret=True,
+                              external_noise=True, obs_every_tick=True,
+                              blank_agent=0)
+    sf_m, si_m, obs_m = ms(noise, sf, si)
+
+    blank_rows = [L.I_IDX[f"a0.{n}"] for n in
+                  ("a_move", "a_angle", "a_rotate", "a_grab", "a_pass",
+                   "a_shoot")]
+    sf_s, si_s = sf, si
+    for t in range(K):
+        for r in blank_rows:
+            si_s = si_s.at[r].set(0)
+        sf_s, si_s, obs_s = fused_step_xla(cfg, sf_s, si_s, chunks[t])
+
+    np.testing.assert_allclose(np.asarray(sf_m), np.asarray(sf_s), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(si_m), np.asarray(si_s))
+    np.testing.assert_allclose(np.asarray(obs_m), np.asarray(obs_s),
+                               atol=1e-5)
+
+
 def test_pick_block():
     from madrona_basketball_tpu.ops.fused_step import MAX_BLOCK, pick_block
     assert pick_block(8192) == 2048          # preferred split
