@@ -56,6 +56,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="fused = single-Pallas-kernel sim (TPU fast path); "
                         "structured = jit(vmap) pytree engine; "
                         "xla-rows = row layout without the Pallas kernel")
+    p.add_argument("--interactive", action="store_true", default=False,
+                   help="train through the live embedded viewer: host-loop "
+                        "rollout with per-step controller consultation — "
+                        "press H to take over world 0's selected agent, "
+                        "Ctrl+P to pause the sim (the reference "
+                        "scripts/ppo.py interactive behavior)")
     p.add_argument("--rollout-kernel", action="store_true", default=False,
                    help="run the whole T-step rollout (policy forward + "
                         "sampling + sim) as ONE VMEM-resident Pallas "
@@ -131,6 +137,39 @@ class EpisodeRecorder:
         self.steps = []
 
 
+def _run_interactive(args, cfg, hp, net, agent, frozen, model_name, key):
+    """Interactive training session: embedded live viewer + human override
+    (scripts/ppo.py:257-276 wiring; ppo/train_interactive.py loop)."""
+    from .ppo.train_interactive import InteractiveTrainer
+    from .viewer.app import ViewerClass
+
+    viewer = ViewerClass(training_mode=True)
+    trainer = InteractiveTrainer(cfg, hp, net, key, agent=agent,
+                                 frozen=frozen, viewer=viewer,
+                                 seed=args.seed)
+    viewer.env = trainer.env
+    print("Interactive training: H = human control of selected agent "
+          "(click to select), Ctrl+P = pause, 1-0 = world switch")
+    timer = PPOTimer()
+    for iteration in range(1, args.num_iterations + 1):
+        timer.start("iter")
+        timer.add_steps(hp.num_envs * hp.num_rollout_steps)
+        metrics = trainer.train_iteration()
+        timer.end("iter")
+        if iteration % args.log_every_n_iterations == 0:
+            m = {k: float(v) for k, v in metrics.items()}
+            print(f"\nUpdate: {iteration}", end=" ")
+            timer.print()
+            print(f"Mean reward: {m['mean_reward']:.2f}. "
+                  f"Mean episode length: {m['mean_episode_length']:.2f}")
+            timer.reset()
+        if iteration % args.save_model_every_n_iterations == 0:
+            path = checkpoint_path(model_name, iteration)
+            save_agent(trainer.agent, path)
+            print(f"Model {model_name} saved at iteration {iteration}")
+    return trainer
+
+
 def main(argv=None):
     args = build_parser().parse_args(argv)
     from .utils.profiling import enable_compile_cache, honor_platform_env
@@ -183,6 +222,10 @@ def main(argv=None):
         print(f"   Model: {model_name}  Envs: {hp.num_envs}  "
               f"Iters: {args.num_iterations}")
         print(f"   Devices: {jax.devices()}")
+
+    if args.interactive:
+        return _run_interactive(args, cfg, hp, net, agent, frozen,
+                                model_name, key)
 
     import jax as _jax
     backend = args.backend

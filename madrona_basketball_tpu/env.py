@@ -43,6 +43,12 @@ def _write_agent_and_step(cfg: SimConfig, s: State, actions,
 
 
 @functools.partial(jax.jit, static_argnums=(0,))
+def _step_written(cfg: SimConfig, s: State) -> State:
+    """Advance one tick with the action tensor already written."""
+    return jax.vmap(lambda w: engine.step(cfg, w))(s)
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
 def _set_reset_flags(cfg: SimConfig, s: State, value: int) -> State:
     flags = jnp.full_like(s.agents.reset, value)
     return s.replace(agents=s.agents.replace(reset=flags))
@@ -67,6 +73,8 @@ class BasketballEnv:
         self.viewer = viewer
         self.action_buckets = list(C.ACTION_BUCKETS)
         self.first_reset_done = False
+        self.controller_manager = None
+        self.training_paused = False
 
     # ---- introspection (scripts/env.py:113-123) ----
     def get_action_space_size(self) -> int:
@@ -139,15 +147,62 @@ class BasketballEnv:
         self.state = self.state.replace(
             agents=self.state.agents.replace(reset=flags))
 
+    # ---- interactive-control plumbing (scripts/env.py:186-207) ----
+    def set_controller_manager(self, controller_manager):
+        """Attach a SimpleControllerManager for interactive training/eval;
+        also forwarded to the embedded viewer so its H key toggles it."""
+        self.controller_manager = controller_manager
+        if self.viewer is not None:
+            self.viewer.set_controller_manager(controller_manager)
+
+    def toggle_human_control(self):
+        if self.controller_manager is not None:
+            self.controller_manager.set_human_control(
+                not self.controller_manager.is_human_control_active())
+
+    def is_training_paused(self) -> bool:
+        return self.training_paused
+
+    def set_training_paused(self, paused: bool):
+        self.training_paused = paused
+        if self.viewer is not None:
+            self.viewer.set_training_paused(paused)
+
     def step_with_world_actions(self, actions, human_action_world_0=None,
                                 human_agent_idx=None):
-        """Step, optionally overriding world 0 with a human action
-        (scripts/env.py:214-252)."""
+        """Step with trainee actions, optionally overriding world 0's
+        selected agent with a human action (scripts/env.py:213-251).
+
+        Order matters and follows the reference: trainee (+frozen) slices
+        are written for ALL worlds first, then world 0 is overridden, so
+        the human action survives.  While the viewer reports paused, the
+        sim does not advance (world-0 action zeroed to freeze the agent
+        visually) but the viewer still ticks for interaction handling.
+        """
+        acts = self.state.agents.action
+        acts = acts.at[:, self.agent_idx].set(
+            jnp.asarray(actions).astype(I32))
+        if self.frozen_policy is not None:
+            frozen_idx = 1 - self.agent_idx
+            fa = self.frozen_policy(self.state.agents.obs[:, frozen_idx])
+            acts = acts.at[:, frozen_idx].set(jnp.asarray(fa).astype(I32))
+        idx = human_agent_idx if human_agent_idx is not None \
+            else self.agent_idx
         if human_action_world_0 is not None:
-            idx = human_agent_idx if human_agent_idx is not None \
-                else self.agent_idx
-            cur = self.state.agents.action
-            cur = cur.at[0, idx].set(jnp.asarray(human_action_world_0, I32))
-            self.state = self.state.replace(
-                agents=self.state.agents.replace(action=cur))
-        return self.step(actions)
+            acts = acts.at[0, idx].set(
+                jnp.asarray(human_action_world_0, I32))
+        if self.viewer is not None and \
+                getattr(self.viewer, "training_paused", False):
+            self.training_paused = True
+            acts = acts.at[0, idx].set(jnp.zeros((6,), I32))
+        else:
+            self.training_paused = False
+        self.state = self.state.replace(
+            agents=self.state.agents.replace(action=acts))
+        if not self.training_paused:
+            self.state = _step_written(self.cfg, self.state)
+        if self.viewer is not None and self.first_reset_done:
+            self.viewer.tick()
+        a = self.state.agents
+        i = self.agent_idx
+        return a.obs[:, i], a.reward[:, i], a.done[:, i]

@@ -52,6 +52,12 @@ def infer(env: BasketballEnv, net, policy_params: AgentParams,
     env.set_agent_idx(trainee_idx)
     policy = make_policy_fn(net, policy_params, jax.random.PRNGKey(seed),
                             stochastic)
+    # Interactive eval: attach a controller manager so a live viewer's H
+    # key hands world 0 to the keyboard (scripts/infer.py:45-48).
+    from .controllers import SimpleControllerManager
+    controller_manager = SimpleControllerManager(net, policy_params,
+                                                 seed=seed)
+    env.set_controller_manager(controller_manager)
 
     trajectory_log = []
     static_log = {}
@@ -65,7 +71,16 @@ def infer(env: BasketballEnv, net, policy_params: AgentParams,
     step = 0
     while step < max_steps:
         actions = policy(obs)
-        obs, reward, done = env.step(actions)
+        if env.viewer is not None and \
+                controller_manager.is_human_control_active():
+            # scripts/infer.py:91-109: override world 0's selected agent.
+            human_action = env.viewer.get_human_action()
+            human_idx = env.viewer.get_selected_agent_index()
+            obs, reward, done = env.step_with_world_actions(
+                actions, human_action_world_0=human_action,
+                human_agent_idx=human_idx)
+        else:
+            obs, reward, done = env.step(actions)
         if log_path:
             t = env.tensors()
             trajectory_log.append({
@@ -145,6 +160,9 @@ def main(argv=None):
     p.add_argument("--deterministic", action="store_true")
     p.add_argument("--num-envs", type=int, default=10)
     p.add_argument("--test-seed", type=int, default=0)
+    p.add_argument("--viewer", action="store_true", default=False,
+                   help="embedded live viewer during eval; press H to "
+                        "take over world 0's selected agent")
     args = p.parse_args(argv)
     from .utils.profiling import enable_compile_cache, honor_platform_env
     honor_platform_env()
@@ -159,9 +177,16 @@ def main(argv=None):
             frozen_fn = make_policy_fn(net, frozen,
                                        jax.random.PRNGKey(args.test_seed + 1),
                                        True)
+        viewer = None
+        if args.viewer:
+            from .viewer.app import ViewerClass
+            viewer = ViewerClass()
         env = BasketballEnv(args.num_envs, cfg, seed=args.test_seed,
                             frozen_policy=frozen_fn,
-                            trainee_agent_idx=args.trainee_idx)
+                            trainee_agent_idx=args.trainee_idx,
+                            viewer=viewer)
+        if viewer is not None:
+            viewer.env = env
         params = load_agent(args.trainee_checkpoint, template)
         infer(env, net, params, args.log_path, args.num_episodes,
               args.max_steps, not args.deterministic, seed=args.test_seed,

@@ -26,7 +26,6 @@ Set shuffle_block=1 for the reference's exact sample-granularity shuffle
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Optional
 
 import jax
@@ -146,19 +145,12 @@ def make_minibatch_update(hp: PPOParams):
             stacklevel=2)
         G = 1
 
-    def update(grad_step, params, opt_state, buf, advantages, values_n,
-               returns_n, key):
+    def run_epochs(grad_step, params, opt_state, feat, D, K, key):
+        """Epochs x shuffled minibatches over a PREBUILT feat matrix
+        (total, F) whose first D + K + 4 columns are obs | actions |
+        log_prob | value_n | advantage | return_n (F may carry trailing
+        padding columns, which are ignored)."""
         total = hp.rollout_batch_size
-        obs = buf["obs"].reshape(total, -1)
-        D = obs.shape[-1]
-        K = buf["actions"].shape[-1]
-        feat = jnp.concatenate([
-            obs,
-            buf["actions"].reshape(total, K).astype(F32),
-            buf["log_probs"].reshape(total, 1),
-            values_n.reshape(total, 1),
-            advantages.reshape(total, 1),
-            returns_n.reshape(total, 1)], axis=-1)
         F = feat.shape[-1]
         # 3-D super-rows: the gather permutes dim 0 and the post-gather
         # reshape merges LEADING dims only (free), instead of a 2-D
@@ -186,7 +178,112 @@ def make_minibatch_update(hp: PPOParams):
             epoch_body, (params, opt_state), ekeys)
         return params, opt_state
 
+    def update(grad_step, params, opt_state, buf, advantages, values_n,
+               returns_n, key):
+        total = hp.rollout_batch_size
+        obs = buf["obs"].reshape(total, -1)
+        D = obs.shape[-1]
+        K = buf["actions"].shape[-1]
+        feat = jnp.concatenate([
+            obs,
+            buf["actions"].reshape(total, K).astype(F32),
+            buf["log_probs"].reshape(total, 1),
+            values_n.reshape(total, 1),
+            advantages.reshape(total, 1),
+            returns_n.reshape(total, 1)], axis=-1)
+        return run_epochs(grad_step, params, opt_state, feat, D, K, key)
+
+    update.run_epochs = run_epochs
     return update
+
+
+def make_update_fns(hp: PPOParams, net: ActorCritic):
+    """The iteration's post-rollout phase, shared by ALL trainers
+    (structured scan, fused kernel, interactive host-loop):
+
+      compute_advantages(agent, buf) — un-normalize values, reverse-scan
+        GAE, update obs/value normalizers, re-normalize adv/values/returns
+        in place (scripts/ppo.py:144-177);
+      update_policy(agent, opt_state, buf, adv, values_n, returns_n, key)
+        — epochs x shuffled minibatches of the clipped PPO objective
+        (scripts/ppo.py:180-216).
+
+    buf: dict with obs (T,N,D), actions (T,N,K), values/log_probs/
+    not_dones/rewards (T,N), next_value (N,)."""
+    tx = make_optimizer(hp)
+    mb_update = make_minibatch_update(hp)
+
+    def compute_advantages(agent: AgentParams, buf):
+        values = agent_lib.unnorm_value(agent, buf["values"])
+        next_value = agent_lib.unnorm_value(agent, buf["next_value"])
+        advantages, returns = compute_gae(
+            buf["rewards"], values, buf["not_dones"], next_value,
+            hp.gamma, hp.gae_lambda)
+
+        obs_rms = rms_update(agent.obs_rms,
+                             buf["obs"].reshape(-1, buf["obs"].shape[-1]))
+        value_rms = rms_update(agent.value_rms, values.reshape(-1, 1))
+        value_rms = rms_update(value_rms, returns.reshape(-1, 1))
+        agent = agent.replace(obs_rms=obs_rms, value_rms=value_rms)
+
+        mu = advantages.mean()
+        sigma = advantages.std(ddof=1)  # torch .std() is unbiased
+        advantages = (advantages - mu) / (sigma + 1e-8)
+        values_n = rms_normalize(value_rms, values.reshape(-1, 1),
+                                 clamp=5.0).reshape(values.shape)
+        returns_n = rms_normalize(value_rms, returns.reshape(-1, 1),
+                                  clamp=5.0).reshape(returns.shape)
+        return agent, advantages, values_n, returns_n
+
+    def loss_fn(params, agent: AgentParams, o, a, lp, v, adv, ret):
+        """Clipped PPO surrogate + clipped value loss + entropy
+        (scripts/ppo.py:192-210)."""
+        lp_, ent, v_ = agent_lib.get_stats(net, agent.replace(params=params),
+                                           o, a)
+        ratio = jnp.exp(lp_ - lp)
+        surr1 = -adv * ratio
+        surr2 = -adv * jnp.clip(ratio, 1 - hp.clip_coef, 1 + hp.clip_coef)
+        pg_loss = jnp.maximum(surr1, surr2).mean()
+
+        vf_loss = (v_ - ret) ** 2
+        v_clip = v + jnp.clip(v_ - v, -hp.clip_coef, hp.clip_coef)
+        vf_loss_clip = (v_clip - ret) ** 2
+        if hp.clip_vloss:
+            c_loss = 0.5 * jnp.maximum(vf_loss, vf_loss_clip).mean()
+        else:
+            c_loss = 0.5 * vf_loss.mean()
+        entropy_loss = -ent.mean()
+        loss = (pg_loss + c_loss * hp.vf_coef + entropy_loss * hp.ent_coef)
+        return loss, (pg_loss, c_loss, entropy_loss)
+
+    grad_fn = jax.grad(loss_fn, has_aux=True)
+
+    def _grad_step_for(agent):
+        def grad_step(carry, o, a, lp, v, adv, ret):
+            params, opt_state = carry
+            grads, _aux = grad_fn(params, agent, o, a, lp, v, adv, ret)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state
+
+        return grad_step
+
+    def update_policy(agent: AgentParams, opt_state, buf, advantages,
+                      values_n, returns_n, key):
+        params, opt_state = mb_update(_grad_step_for(agent), agent.params,
+                                      opt_state, buf, advantages, values_n,
+                                      returns_n, key)
+        return agent.replace(params=params), opt_state
+
+    def update_policy_feat(agent: AgentParams, opt_state, feat, D, K, key):
+        """Same update over a prebuilt feat matrix (see
+        make_minibatch_update.run_epochs) — the zero-copy path for the
+        rollout kernel's feature-major trajectory buffer."""
+        params, opt_state = mb_update.run_epochs(
+            _grad_step_for(agent), agent.params, opt_state, feat, D, K, key)
+        return agent.replace(params=params), opt_state
+
+    update_policy.with_feat = update_policy_feat
+    return compute_advantages, update_policy
 
 
 def init_train_state(cfg: SimConfig, hp: PPOParams, net: ActorCritic,
@@ -213,7 +310,7 @@ def make_train_iteration(cfg: SimConfig, hp: PPOParams, net: ActorCritic):
     fi = 1 - ti
     T = hp.num_rollout_steps
     vstep = jax.vmap(lambda w: engine.step(cfg, w))
-    tx = make_optimizer(hp)
+    compute_advantages, update_policy = make_update_fns(hp, net)
 
     def write_actions(env: State, trainee_actions, frozen_actions):
         acts = env.agents.action
@@ -272,70 +369,6 @@ def make_train_iteration(cfg: SimConfig, hp: PPOParams, net: ActorCritic):
         return env, stats, key, dict(
             obs=obs_b, actions=act_b, values=val_b, log_probs=logp_b,
             not_dones=notdone_b, rewards=rew_b, next_value=next_value), w0
-
-    def compute_advantages(agent: AgentParams, buf):
-        """scripts/ppo.py:144-177, including in-place re-normalization."""
-        values = agent_lib.unnorm_value(agent, buf["values"])
-        next_value = agent_lib.unnorm_value(agent, buf["next_value"])
-        advantages, returns = compute_gae(
-            buf["rewards"], values, buf["not_dones"], next_value,
-            hp.gamma, hp.gae_lambda)
-
-        obs_rms = rms_update(agent.obs_rms,
-                             buf["obs"].reshape(-1, buf["obs"].shape[-1]))
-        value_rms = rms_update(agent.value_rms, values.reshape(-1, 1))
-        value_rms = rms_update(value_rms, returns.reshape(-1, 1))
-        agent = agent.replace(obs_rms=obs_rms, value_rms=value_rms)
-
-        mu = advantages.mean()
-        sigma = advantages.std(ddof=1)  # torch .std() is unbiased
-        advantages = (advantages - mu) / (sigma + 1e-8)
-        values_n = rms_normalize(value_rms, values.reshape(-1, 1),
-                                 clamp=5.0).reshape(values.shape)
-        returns_n = rms_normalize(value_rms, returns.reshape(-1, 1),
-                                  clamp=5.0).reshape(returns.shape)
-        return agent, advantages, values_n, returns_n
-
-    def loss_fn(params, agent: AgentParams, o, a, lp, v, adv, ret):
-        """Clipped PPO surrogate + clipped value loss + entropy
-        (scripts/ppo.py:192-210)."""
-        lp_, ent, v_ = agent_lib.get_stats(net, agent.replace(params=params),
-                                           o, a)
-        ratio = jnp.exp(lp_ - lp)
-        surr1 = -adv * ratio
-        surr2 = -adv * jnp.clip(ratio, 1 - hp.clip_coef, 1 + hp.clip_coef)
-        pg_loss = jnp.maximum(surr1, surr2).mean()
-
-        vf_loss = (v_ - ret) ** 2
-        v_clip = v + jnp.clip(v_ - v, -hp.clip_coef, hp.clip_coef)
-        vf_loss_clip = (v_clip - ret) ** 2
-        if hp.clip_vloss:
-            c_loss = 0.5 * jnp.maximum(vf_loss, vf_loss_clip).mean()
-        else:
-            c_loss = 0.5 * vf_loss.mean()
-        entropy_loss = -ent.mean()
-
-        loss = (pg_loss + c_loss * hp.vf_coef + entropy_loss * hp.ent_coef)
-        return loss, (pg_loss, c_loss, entropy_loss)
-
-    grad_fn = jax.grad(loss_fn, has_aux=True)
-
-    mb_update = make_minibatch_update(hp)
-
-    def update_policy(agent: AgentParams, opt_state, buf, advantages,
-                      values_n, returns_n, key):
-        """4 epochs x 4 shuffled minibatches (scripts/ppo.py:180-216)."""
-
-        def grad_step(carry, o, a, lp, v, adv, ret):
-            params, opt_state = carry
-            grads, _aux = grad_fn(params, agent, o, a, lp, v, adv, ret)
-            updates, opt_state = tx.update(grads, opt_state, params)
-            return optax.apply_updates(params, updates), opt_state
-
-        params, opt_state = mb_update(grad_step, agent.params, opt_state,
-                                      buf, advantages, values_n, returns_n,
-                                      key)
-        return agent.replace(params=params), opt_state
 
     @jax.jit
     def train_iteration(ts: TrainState):

@@ -16,7 +16,6 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
-import optax
 from flax import struct
 
 from .. import constants as C
@@ -25,13 +24,11 @@ from ..config import SimConfig
 from ..engine_fused import make_noise_fn
 from ..models import agent as agent_lib
 from ..models.agent import ActorCritic, AgentParams
-from ..models.normalize import rms_normalize, rms_update
 from ..ops import layout
 from ..ops.fused_step import fused_step_xla, make_fused_step
-from ..ops.gae import compute_gae
 from .hparams import PPOParams
-from .train import (EpisodeStats, _stats_step, init_stats,
-                    make_minibatch_update, make_optimizer)
+from .train import (EpisodeStats, _stats_step, init_stats, make_optimizer,
+                    make_update_fns)
 
 F32 = jnp.float32
 I32 = jnp.int32
@@ -80,7 +77,8 @@ def init_fused_train_state(cfg: SimConfig, hp: PPOParams, net: ActorCritic,
 def make_train_iteration_fused(cfg: SimConfig, hp: PPOParams,
                                net: ActorCritic, backend: str = "pallas",
                                block: int = 2048, mesh=None,
-                               rollout_kernel: bool = False):
+                               rollout_kernel: bool = False,
+                               rollout_interpret: bool = False):
     """`mesh`: optional jax.sharding.Mesh with a 'data' axis.  When given,
     the sim kernel runs under shard_map with worlds split across devices
     (a Pallas custom call does not auto-partition); everything else (policy,
@@ -100,8 +98,9 @@ def make_train_iteration_fused(cfg: SimConfig, hp: PPOParams,
         raise ValueError("rollout_kernel does not support record_world0; "
                          "use the scan rollout (e.g. --viewer without "
                          "--rollout-kernel)")
-    if rollout_kernel and backend != "pallas":
-        raise ValueError("rollout_kernel requires the pallas backend (TPU)")
+    if rollout_kernel and backend != "pallas" and not rollout_interpret:
+        raise ValueError("rollout_kernel requires the pallas backend (TPU); "
+                         "pass rollout_interpret=True to dry-run on CPU")
     ti = hp.trainee_idx
     fi = 1 - ti
     T = hp.num_rollout_steps
@@ -202,102 +201,121 @@ def make_train_iteration_fused(cfg: SimConfig, hp: PPOParams,
     if rollout_kernel:
         from ..ops import fused_rollout as FR
         n_shards = 1 if mesh is None else mesh.size
+        # Interpret mode (CPU dryrun) has no pltpu PRNG lowering; feed the
+        # same per-tick noise through the kernel's external-noise input
+        # instead (same program structure and shardings).
         rk = FR.make_fused_rollout(cfg, worlds_per_shard, T,
                                    trainee_idx=ti, use_frozen=hp.use_frozen,
-                                   block=min(block, 1024))
+                                   block=min(block, 1024),
+                                   interpret=rollout_interpret,
+                                   external_noise=rollout_interpret)
         if mesh is not None:
             from jax.sharding import PartitionSpec as P
             from jax.experimental.shard_map import shard_map
             rs = P(None, "data")
             n_p = 5 * (2 if hp.use_frozen else 1)
+            rng_spec = rs if rollout_interpret else P("data")
             rk = shard_map(
                 rk, mesh=mesh,
-                in_specs=(P("data"), rs, rs, rs) + (P(),) * n_p,
+                in_specs=(rng_spec, rs, rs, rs) + (P(),) * n_p,
                 out_specs=(rs, rs, rs, P(None, None, "data")),
                 check_rep=False)
 
-        def rollout(agent, frozen, env_keys, sf, si, obs, stats, key):  # noqa: F811
-            key, k0, ks = jax.random.split(key, 3)
-            env_keys, sf, si, obs = reset_pulse(frozen, env_keys, sf, si,
-                                                obs, k0)
-            # Per-shard independent seeds: the kernel folds only its local
-            # block index into the PRNG, so identical seeds across shards
-            # would replay identical noise.
-            seed = jax.lax.bitcast_convert_type(
-                jax.random.bits(ks, (n_shards,), jnp.uint32), I32)
-            mats = FR.pack_policy(agent)
+        def make_rng_arg(ks):
+            if not rollout_interpret:
+                # Per-shard independent seeds: the kernel folds only its
+                # local block index into the PRNG, so identical seeds
+                # across shards would replay identical noise.
+                return jax.lax.bitcast_convert_type(
+                    jax.random.bits(ks, (n_shards,), jnp.uint32), I32)
+            import numpy as _np
+            u = jax.random.uniform(
+                ks, (T * FR.EXT_NOISE_CHUNK, hp.num_envs))
+            # rows 0..7 of each per-tick chunk are U(-1,1) shot/reset
+            # deviations; everything else stays U(0,1).
+            row = _np.arange(T * FR.EXT_NOISE_CHUNK) % FR.EXT_NOISE_CHUNK
+            signed = jnp.asarray(row < 8)[:, None]
+            return jnp.where(signed, 2.0 * u - 1.0, u)
+
+        from ..models.normalize import rms_normalize, rms_update
+        from ..ops.gae import compute_gae
+        OBS = C.OBS_SIZE
+        _, _update_policy = make_update_fns(hp, net)
+        update_policy_feat = _update_policy.with_feat
+
+        @jax.jit
+        def train_iteration_kernel(ts: FusedTrainState):
+            key, k0, ks, k_upd = jax.random.split(ts.key, 4)
+            env_keys, sf, si, obs = reset_pulse(ts.frozen, ts.env_keys,
+                                                ts.sf, ts.si, ts.obs, k0)
+            mats = FR.pack_policy(ts.agent)
             if hp.use_frozen:
-                mats = mats + FR.pack_policy(frozen)
-            sf, si, obs, traj = rk(seed, sf, si, obs, *mats)
-            obs_b = jnp.swapaxes(traj[:, 0:C.OBS_SIZE, :], 1, 2)
-            act_b = jnp.swapaxes(
-                traj[:, FR.R_ACT:FR.R_ACT + 6, :], 1, 2).astype(I32)
-            logp_b = traj[:, FR.R_LOGP, :]
-            val_b = traj[:, FR.R_VALUE, :]
-            rew_b = traj[:, FR.R_REW, :]
-            done_b = traj[:, FR.R_DONE, :]
+                mats = mats + FR.pack_policy(ts.frozen)
+            sf, si, obs, traj = rk(make_rng_arg(ks), sf, si, obs, *mats)
+
+            values = traj[:, FR.R_VALUE, :]
+            rewards = traj[:, FR.R_REW, :]
+            done = traj[:, FR.R_DONE, :]
+            not_dones = 1.0 - done
             stats, _ = jax.lax.scan(
                 lambda st, rd: (_stats_step(st, rd[0], rd[1]), None),
-                stats, (rew_b, done_b))
-            next_value = agent_lib.evaluate(
-                net, agent, obs[ti_lo:ti_lo + C.OBS_SIZE].T)
-            buf = dict(obs=obs_b, actions=act_b, values=val_b,
-                       log_probs=logp_b, not_dones=1.0 - done_b,
-                       rewards=rew_b, next_value=next_value)
-            return env_keys, sf, si, obs, stats, key, buf, None
+                ts.stats, (rewards, done))
+            next_value = agent_lib.evaluate(net, ts.agent,
+                                            obs[ti_lo:ti_lo + OBS].T)
 
-    # ---- advantages + update: shared math with ppo/train.py ----
-    def compute_advantages(agent, buf):
-        values = agent_lib.unnorm_value(agent, buf["values"])
-        next_value = agent_lib.unnorm_value(agent, buf["next_value"])
-        advantages, returns = compute_gae(
-            buf["rewards"], values, buf["not_dones"], next_value,
-            hp.gamma, hp.gae_lambda)
-        obs_rms = rms_update(agent.obs_rms,
-                             buf["obs"].reshape(-1, buf["obs"].shape[-1]))
-        value_rms = rms_update(agent.value_rms, values.reshape(-1, 1))
-        value_rms = rms_update(value_rms, returns.reshape(-1, 1))
-        agent = agent.replace(obs_rms=obs_rms, value_rms=value_rms)
-        mu = advantages.mean()
-        sigma = advantages.std(ddof=1)
-        advantages = (advantages - mu) / (sigma + 1e-8)
-        values_n = rms_normalize(value_rms, values.reshape(-1, 1),
-                                 clamp=5.0).reshape(values.shape)
-        returns_n = rms_normalize(value_rms, returns.reshape(-1, 1),
-                                  clamp=5.0).reshape(returns.shape)
-        return agent, advantages, values_n, returns_n
+            # ---- advantages on (T, W) trajectory rows, then the
+            # update-phase columns are written back into the trajectory's
+            # spare rows so ONE relayout yields the minibatch feat matrix
+            # (no concatenation, no per-field transposes).  Semantics
+            # identical to make_update_fns.compute_advantages
+            # (scripts/ppo.py:144-177). ----
+            agent = ts.agent
+            values_un = agent_lib.unnorm_value(agent, values)
+            next_un = agent_lib.unnorm_value(agent, next_value)
+            advantages, returns = compute_gae(rewards, values_un,
+                                              not_dones, next_un,
+                                              hp.gamma, hp.gae_lambda)
+            value_rms = rms_update(agent.value_rms,
+                                   values_un.reshape(-1, 1))
+            value_rms = rms_update(value_rms, returns.reshape(-1, 1))
+            mu = advantages.mean()
+            sigma = advantages.std(ddof=1)
+            adv_n = (advantages - mu) / (sigma + 1e-8)
+            values_n = rms_normalize(value_rms, values_un.reshape(-1, 1),
+                                     clamp=5.0).reshape(values.shape)
+            returns_n = rms_normalize(value_rms, returns.reshape(-1, 1),
+                                      clamp=5.0).reshape(returns.shape)
 
-    def loss_fn(params, agent, o, a, lp, v, adv, ret):
-        lp_, ent, v_ = agent_lib.get_stats(net, agent.replace(params=params),
-                                           o, a)
-        ratio = jnp.exp(lp_ - lp)
-        surr1 = -adv * ratio
-        surr2 = -adv * jnp.clip(ratio, 1 - hp.clip_coef, 1 + hp.clip_coef)
-        pg_loss = jnp.maximum(surr1, surr2).mean()
-        vf_loss = (v_ - ret) ** 2
-        v_clip = v + jnp.clip(v_ - v, -hp.clip_coef, hp.clip_coef)
-        if hp.clip_vloss:
-            c_loss = 0.5 * jnp.maximum(vf_loss, (v_clip - ret) ** 2).mean()
-        else:
-            c_loss = 0.5 * vf_loss.mean()
-        return pg_loss + c_loss * hp.vf_coef - ent.mean() * hp.ent_coef
+            # feat columns line up with run_epochs' contract: obs 0:128,
+            # actions 128:134 (R_ACT), logp 134, value_n 135 (over
+            # R_VALUE), advantage 136 (over R_REW), return_n 137 (over
+            # R_DONE); rows 138+ are padding.
+            traj = traj.at[:, FR.R_VALUE, :].set(values_n)
+            traj = traj.at[:, FR.R_REW, :].set(adv_n)
+            traj = traj.at[:, FR.R_DONE, :].set(returns_n)
+            feat = jnp.swapaxes(traj, 1, 2).reshape(
+                T * hp.num_envs, FR.ROLL_ROWS)
+            obs_rms = rms_update(agent.obs_rms, feat[:, :OBS])
+            agent = agent.replace(obs_rms=obs_rms, value_rms=value_rms)
 
-    grad_fn = jax.grad(loss_fn)
+            agent, opt_state = update_policy_feat(agent, ts.opt_state,
+                                                  feat, OBS, 6, k_upd)
+            metrics = {
+                "mean_reward": stats.mean_reward,
+                "mean_episode_length": stats.mean_length,
+                "reward_window": stats.reward_size,
+                "adv_abs_mean": jnp.abs(adv_n).mean(),
+                "value_mean": values_n.mean(),
+            }
+            ts = ts.replace(agent=agent, opt_state=opt_state, sf=sf, si=si,
+                            obs=obs, env_keys=env_keys, stats=stats,
+                            key=key, iteration=ts.iteration + 1)
+            return ts, metrics
 
-    mb_update = make_minibatch_update(hp)
+        return train_iteration_kernel
 
-    def update_policy(agent, opt_state, buf, advantages, values_n,
-                      returns_n, key):
-        def grad_step(carry, o, a, lp, v, adv, ret):
-            params, opt_state = carry
-            grads = grad_fn(params, agent, o, a, lp, v, adv, ret)
-            updates, opt_state = tx.update(grads, opt_state, params)
-            return optax.apply_updates(params, updates), opt_state
-
-        params, opt_state = mb_update(grad_step, agent.params, opt_state,
-                                      buf, advantages, values_n, returns_n,
-                                      key)
-        return agent.replace(params=params), opt_state
+    # ---- advantages + update: the shared phase (ppo/train.py) ----
+    compute_advantages, update_policy = make_update_fns(hp, net)
 
     @jax.jit
     def train_iteration(ts: FusedTrainState):
