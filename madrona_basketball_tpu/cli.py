@@ -62,10 +62,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "press H to take over world 0's selected agent, "
                         "Ctrl+P to pause the sim (the reference "
                         "scripts/ppo.py interactive behavior)")
-    p.add_argument("--rollout-kernel", action="store_true", default=False,
+    p.add_argument("--rollout-kernel", action=argparse.BooleanOptionalAction,
+                   default=None,
                    help="run the whole T-step rollout (policy forward + "
                         "sampling + sim) as ONE VMEM-resident Pallas "
-                        "kernel (TPU only; incompatible with --viewer)")
+                        "kernel.  Default: ON for the fused backend on "
+                        "TPU unless --viewer needs per-step world-0 "
+                        "telemetry; --no-rollout-kernel forces the "
+                        "scan-of-launches rollout")
     p.add_argument("--data-parallel", action="store_true", default=False,
                    help="shard worlds over ALL attached devices (data "
                         "mesh axis); learner replicates and gradient "
@@ -254,10 +258,13 @@ def main(argv=None):
                                       make_train_iteration_fused)
         ts = init_fused_train_state(cfg, hp, net, key, agent=agent,
                                     frozen=frozen)
+        rollout_kernel = args.rollout_kernel
+        if rollout_kernel is None:
+            rollout_kernel = backend == "fused" and not args.viewer
         train_iteration = make_train_iteration_fused(
             cfg, hp, net,
             backend="pallas" if backend == "fused" else "xla",
-            mesh=mesh, rollout_kernel=args.rollout_kernel)
+            mesh=mesh, rollout_kernel=rollout_kernel)
         if mesh is not None:
             from .parallel.mesh import shard_fused_train_state
             ts = shard_fused_train_state(ts, mesh)

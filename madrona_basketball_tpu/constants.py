@@ -124,5 +124,12 @@ START_Y = WORLD_HEIGHT_M / 2.0  # 8.382  (scripts/env.py:29)
 # (scripts/env.py:96-102)
 ACTION_BUCKETS = (2, 8, 3, 2, 2, 2)
 NUM_ACTIONS = len(ACTION_BUCKETS)
-OBS_SIZE = 128  # float slots; 101 used (src/game.cpp:1175-1461)
-OBS_USED = 101
+OBS_SIZE = 128  # float slots (src/game.cpp:1175-1461)
+OBS_USED = 103  # slots actually written; the tail is structural zero
+# padding (src/game.cpp:1456-1460).  Count: 5 game + 2 scores + 10 ball
+# + 6 hoops + 38 self + 38 opponent + 2 holder + 2 inbounder one-hots
+# (src/game.cpp:1255-1452; SURVEY §2.2's "101" undercounts the 38-float
+# agent blocks as 37).  Inputs >= OBS_USED contribute nothing to the
+# policy (0 * w), so the update phase trains on packed 103-feature rows;
+# asserted against the obs builder at trace time
+# (ops/fused_step.step_fields).

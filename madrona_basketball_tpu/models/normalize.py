@@ -50,6 +50,29 @@ def rms_unnormalize(st: RMSState, x: jax.Array,
     return st.mean + jnp.sqrt(st.var + EPS) * x
 
 
+def rms_update_padded(st: RMSState, x: jax.Array) -> RMSState:
+    """rms_update where the batch's features >= x.shape[-1] are
+    implicitly ALL ZERO and not materialized (the obs tail padding,
+    constants.OBS_USED).  Bit-equivalent to rms_update on the
+    zero-padded batch: a zero batch has mean 0 and variance 0, so the
+    padded dims follow the closed-form Chan merge with those values."""
+    used = x.shape[-1]
+    sub = rms_update(RMSState(mean=st.mean[:used], var=st.var[:used],
+                              count=st.count), x)
+    n = jnp.asarray(x.reshape(-1, used).shape[0], F32)
+    count_ = st.count + n
+    pad_mean = st.mean[used:]
+    pad_var = st.var[used:]
+    # delta = 0 - pad_mean; batch var = 0
+    new_pad_mean = pad_mean * (st.count / count_)
+    m = pad_var * st.count + pad_mean ** 2 * st.count * n / count_
+    new_pad_var = m / count_
+    return RMSState(
+        mean=jnp.concatenate([sub.mean, new_pad_mean]),
+        var=jnp.concatenate([sub.var, new_pad_var]),
+        count=sub.count)
+
+
 def rms_update(st: RMSState, x: jax.Array) -> RMSState:
     """Merge a batch (N, dim) into the running stats (scripts/agent.py:40-50).
 

@@ -53,14 +53,20 @@ A = C.NUM_AGENTS
 N_LOGITS = sum(C.ACTION_BUCKETS)  # 19
 OBS = C.OBS_SIZE                  # 128
 
-# Trajectory row layout (per tick, per world).  Padded to a multiple of 8
-# sublanes so per-tick blocks tile cleanly.
-R_ACT = OBS                # 6 action rows
+# Trajectory row layout (per tick, per world).  Observations are stored
+# PACKED: only the C.OBS_USED real slots ride in the trajectory — the
+# obs tail is structural zero padding (src/game.cpp:1456-1460) that
+# contributes nothing to the policy, and dropping it keeps the minibatch
+# feat matrix at <= 128 columns (one f32 lane tile) instead of 144
+# padded to 256, halving every update-phase gather/read.  Padded to a
+# multiple of 8 sublanes so per-tick blocks tile cleanly.
+ROLL_OBS = C.OBS_USED      # 103 packed obs rows
+R_ACT = ROLL_OBS           # 6 action rows
 R_LOGP = R_ACT + 6
 R_VALUE = R_LOGP + 1
 R_REW = R_VALUE + 1
 R_DONE = R_REW + 1
-ROLL_ROWS = ((R_DONE + 1 + 7) // 8) * 8  # 144
+ROLL_ROWS = ((R_DONE + 1 + 7) // 8) * 8  # 120
 
 # External-noise chunk layout (test path): rows 0..8 sim noise (same
 # semantics as layout.N_NOISE_ROWS), rows 16..34 trainee uniforms,
@@ -175,10 +181,11 @@ def make_fused_rollout(cfg: SimConfig, num_worlds: int, n_steps: int,
     Returns
         rollout(rng, sf, si, obs0, *trainee_mats[, *frozen_mats])
             -> (sf', si', obs', traj)
-    where traj is (n_steps, ROLL_ROWS, W): rows 0..127 the obs the policy
-    saw, 128..133 sampled actions, 134 summed log-prob, 135 value
-    (normalized space), 136 reward and 137 done AFTER the tick — exactly
-    the per-step tuple ppo/train_fused.py's scan body emits.
+    where traj is (n_steps, ROLL_ROWS, W): rows 0..ROLL_OBS-1 the packed
+    (used-slots-only) obs the policy saw, then 6 sampled-action rows, the
+    summed log-prob, the value (normalized space), and reward + done
+    AFTER the tick — the per-step tuple ppo/train_fused.py's scan body
+    emits, feature-major.
 
     `rng` is a (1,) int32 seed; each (block, tick) grid step reseeds the
     on-chip PRNG with (seed, block, tick) so draws are independent and
@@ -248,7 +255,7 @@ def make_fused_rollout(cfg: SimConfig, num_worlds: int, n_steps: int,
             for j in range(6):
                 si_out[f_rows[j]] = f_actions[j]
 
-        traj[0, 0:OBS, :] = obs_t
+        traj[0, 0:ROLL_OBS, :] = obs_t[0:ROLL_OBS]
         for j in range(6):
             traj[0, R_ACT + j] = actions[j].astype(F32)
         traj[0, R_LOGP] = logp

@@ -902,9 +902,10 @@ def step_fields(cfg: SimConfig, ag, ball, game, hoops, noise,
         for j in range(A):
             rows.append((jnp.asarray(C.AGENT_IDS[j], I32) ==
                          inbounder).astype(F32))
+        assert len(rows) == C.OBS_USED, \
+            f"obs layout changed: {len(rows)} used rows != C.OBS_USED"
         while len(rows) < C.OBS_SIZE:
             rows.append(zero)
-        assert len(rows) == C.OBS_SIZE
         obs_rows.extend(rows)
 
     # ---------------- 19. reward (src/game.cpp:811-870) ----------------

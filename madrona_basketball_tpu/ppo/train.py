@@ -157,19 +157,21 @@ def make_minibatch_update(hp: PPOParams):
         # (rows, G*F) form whose reshape back to F columns is a paid
         # relayout (~2.6 ms/iter at 8192 envs).
         featG = feat.reshape(total // G, G, F)
+        rows = total // G
+        mb_rows = rows // hp.num_minibatches
+
+        def mb_body(carry, fe):
+            fe = fe.reshape(hp.minibatch_size, F)
+            o = fe[:, :D]
+            a = fe[:, D:D + K].astype(I32)
+            return grad_step(carry, o, a, fe[:, D + K],
+                             fe[:, D + K + 1], fe[:, D + K + 2],
+                             fe[:, D + K + 3]), None
 
         def epoch_body(carry, ekey):
-            perm = jax.random.permutation(ekey, total // G)
-            feat_e = featG[perm].reshape(hp.num_minibatches,
-                                         hp.minibatch_size, F)
-
-            def mb_body(carry, fe):
-                o = fe[:, :D]
-                a = fe[:, D:D + K].astype(I32)
-                return grad_step(carry, o, a, fe[:, D + K],
-                                 fe[:, D + K + 1], fe[:, D + K + 2],
-                                 fe[:, D + K + 3]), None
-
+            perm = jax.random.permutation(ekey, rows)
+            feat_e = featG[perm].reshape(
+                hp.num_minibatches, hp.minibatch_size // G, G, F)
             carry, _ = jax.lax.scan(mb_body, carry, feat_e)
             return carry, None
 
@@ -235,11 +237,36 @@ def make_update_fns(hp: PPOParams, net: ActorCritic):
                                   clamp=5.0).reshape(returns.shape)
         return agent, advantages, values_n, returns_n
 
+    def _stats(params, agent: AgentParams, o, a):
+        """get_stats that also accepts PACKED observations (o narrower
+        than the net's input): features >= o.shape[-1] are structurally
+        zero (constants.OBS_USED), so normalizing the packed slots and
+        applying a row-sliced first Dense kernel is bit-identical to the
+        full-width forward — and the gradient of the slice scatters back
+        into the full parameter tree with exact zeros for the unused
+        rows, just as the zero inputs would produce."""
+        D = o.shape[-1]
+        full = agent.obs_rms.mean.shape[0]
+        if D == full:
+            return agent_lib.get_stats(net, agent.replace(params=params),
+                                       o, a)
+        from ..models.normalize import EPS
+        rms = agent.obs_rms
+        x = jnp.clip((o - rms.mean[:D]) * jax.lax.rsqrt(rms.var[:D] + EPS),
+                     -5.0, 5.0)
+        pp = dict(params["params"])
+        d0 = dict(pp["Dense_0"])
+        d0["kernel"] = d0["kernel"][:D]
+        p2 = {"params": {**pp, "Dense_0": d0}}
+        logits, value = net.apply(p2, x)
+        from ..models import action as action_dist
+        lps, ents = action_dist.action_stats(logits, a, C.ACTION_BUCKETS)
+        return lps.sum(axis=-1), ents.sum(axis=-1), value
+
     def loss_fn(params, agent: AgentParams, o, a, lp, v, adv, ret):
         """Clipped PPO surrogate + clipped value loss + entropy
         (scripts/ppo.py:192-210)."""
-        lp_, ent, v_ = agent_lib.get_stats(net, agent.replace(params=params),
-                                           o, a)
+        lp_, ent, v_ = _stats(params, agent, o, a)
         ratio = jnp.exp(lp_ - lp)
         surr1 = -adv * ratio
         surr2 = -adv * jnp.clip(ratio, 1 - hp.clip_coef, 1 + hp.clip_coef)

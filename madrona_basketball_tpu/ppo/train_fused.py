@@ -237,7 +237,8 @@ def make_train_iteration_fused(cfg: SimConfig, hp: PPOParams,
             signed = jnp.asarray(row < 8)[:, None]
             return jnp.where(signed, 2.0 * u - 1.0, u)
 
-        from ..models.normalize import rms_normalize, rms_update
+        from ..models.normalize import (rms_normalize, rms_update,
+                                        rms_update_padded)
         from ..ops.gae import compute_gae
         OBS = C.OBS_SIZE
         _, _update_policy = make_update_fns(hp, net)
@@ -286,20 +287,23 @@ def make_train_iteration_fused(cfg: SimConfig, hp: PPOParams,
             returns_n = rms_normalize(value_rms, returns.reshape(-1, 1),
                                       clamp=5.0).reshape(returns.shape)
 
-            # feat columns line up with run_epochs' contract: obs 0:128,
-            # actions 128:134 (R_ACT), logp 134, value_n 135 (over
-            # R_VALUE), advantage 136 (over R_REW), return_n 137 (over
-            # R_DONE); rows 138+ are padding.
+            # feat columns line up with run_epochs' contract: packed obs
+            # 0:ROLL_OBS, actions next (R_ACT), then logp, value_n (over
+            # R_VALUE), advantage (over R_REW), return_n (over R_DONE);
+            # trailing rows are padding.  The obs-rms update covers the
+            # structural-zero tail analytically (rms_update_padded).
             traj = traj.at[:, FR.R_VALUE, :].set(values_n)
             traj = traj.at[:, FR.R_REW, :].set(adv_n)
             traj = traj.at[:, FR.R_DONE, :].set(returns_n)
             feat = jnp.swapaxes(traj, 1, 2).reshape(
                 T * hp.num_envs, FR.ROLL_ROWS)
-            obs_rms = rms_update(agent.obs_rms, feat[:, :OBS])
+            obs_rms = rms_update_padded(agent.obs_rms,
+                                        feat[:, :FR.ROLL_OBS])
             agent = agent.replace(obs_rms=obs_rms, value_rms=value_rms)
 
             agent, opt_state = update_policy_feat(agent, ts.opt_state,
-                                                  feat, OBS, 6, k_upd)
+                                                  feat, FR.ROLL_OBS, 6,
+                                                  k_upd)
             metrics = {
                 "mean_reward": stats.mean_reward,
                 "mean_episode_length": stats.mean_length,

@@ -37,9 +37,14 @@ def train_generation(cfg: SimConfig, hp: PPOParams, net, key,
     """One training session: trainee vs frozen opponent (scripts/ppo.py main
     recipe at self-play scale), on the fused engine."""
     backend = "pallas" if jax.devices()[0].platform == "tpu" else "xla"
+    # The policy-in-the-loop rollout kernel makes the frozen-opponent
+    # forward essentially free (both policies run inside the kernel);
+    # TPU-only.
+    rollout_kernel = backend == "pallas"
     ts = init_fused_train_state(cfg, hp, net, key, agent=trainee,
                                 frozen=frozen)
-    it = make_train_iteration_fused(cfg, hp, net, backend=backend)
+    it = make_train_iteration_fused(cfg, hp, net, backend=backend,
+                                    rollout_kernel=rollout_kernel)
     # Fuse iterations into one dispatch per block (host round-trips
     # dominate wall clock on remote-attached devices; see ppo/train.py).
     from .ppo.train import auto_chunk, make_train_chunk, unstack_metrics

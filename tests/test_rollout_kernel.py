@@ -19,7 +19,7 @@ from madrona_basketball_tpu.models import agent as agent_lib
 from madrona_basketball_tpu.models.normalize import rms_normalize
 from madrona_basketball_tpu.ops import layout
 from madrona_basketball_tpu.ops.fused_rollout import (
-    R_ACT, R_DONE, R_LOGP, R_REW, R_VALUE, gumbel_from_uniform,
+    R_ACT, R_DONE, R_LOGP, R_REW, R_VALUE, ROLL_OBS, gumbel_from_uniform,
     make_fused_rollout, pack_policy, pack_rollout_noise)
 from madrona_basketball_tpu.ops.fused_step import fused_step_xla
 
@@ -107,8 +107,9 @@ def test_rollout_kernel_matches_xla_reference():
         np.testing.assert_array_equal(
             np.asarray(traj[t, R_ACT:R_ACT + 6].T, dtype=np.int32),
             np.asarray(actions))
-        np.testing.assert_allclose(np.asarray(traj[t, 0:OBS]),
-                                   np.asarray(obs_r[ti_lo:ti_lo + OBS]),
+        np.testing.assert_allclose(np.asarray(traj[t, 0:ROLL_OBS]),
+                                   np.asarray(
+                                       obs_r[ti_lo:ti_lo + ROLL_OBS]),
                                    atol=1e-5)
         np.testing.assert_allclose(np.asarray(traj[t, R_LOGP]),
                                    np.asarray(logp), atol=1e-4)

@@ -69,6 +69,93 @@ def test_minibatch_update_blocked_vs_exact():
     np.testing.assert_allclose(p1, p8, rtol=1e-5)
 
 
+def test_run_epochs_visits_every_sample_each_epoch():
+    """The prebuilt-feat epoch runner must present EVERY sample exactly
+    once per epoch (a permutation partitions the batch).  Verified by
+    accumulating sum and sum-of-squares of unique sample ids delivered
+    to grad_step across each epoch."""
+    hp = PPOParams(num_envs=8, num_rollout_steps=8, num_minibatches=2,
+                   update_epochs=3, shuffle_block=4)
+    total = hp.rollout_batch_size
+    ids = jnp.arange(total, dtype=jnp.float32)
+    feat = jnp.zeros((total, 8)).at[:, 7].set(ids)
+    update = make_minibatch_update(hp)
+
+    def grad_step(carry, o, a, lp, v, advb, ret):
+        (s, s2, n), opt = carry
+        return ((s + ret.sum(), s2 + (ret ** 2).sum(),
+                 n + ret.shape[0]), opt)
+
+    (s, s2, n), _ = update.run_epochs(grad_step, (0.0, 0.0, 0), None,
+                                      feat, 4, 2, jax.random.PRNGKey(3))
+    epochs = hp.update_epochs
+    np.testing.assert_allclose(float(s), epochs * float(ids.sum()),
+                               rtol=1e-6)
+    np.testing.assert_allclose(float(s2), epochs * float((ids ** 2).sum()),
+                               rtol=1e-6)
+    assert int(n) == epochs * total
+
+
+def test_rms_update_padded_matches_full():
+    """rms_update_padded == rms_update on the explicitly zero-padded
+    batch (structural obs tail, constants.OBS_USED)."""
+    from madrona_basketball_tpu.models.normalize import (
+        RMSState, rms_update, rms_update_padded)
+    rng = np.random.RandomState(0)
+    st = RMSState(mean=jnp.asarray(rng.normal(size=12), jnp.float32),
+                  var=jnp.asarray(rng.uniform(0.5, 2, 12), jnp.float32),
+                  count=jnp.asarray(37.0))
+    x = jnp.asarray(rng.normal(size=(50, 8)), jnp.float32)
+    full = rms_update(st, jnp.pad(x, ((0, 0), (0, 4))))
+    packed = rms_update_padded(st, x)
+    np.testing.assert_allclose(np.asarray(packed.mean),
+                               np.asarray(full.mean), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(packed.var),
+                               np.asarray(full.var), atol=1e-6)
+    np.testing.assert_allclose(float(packed.count), float(full.count))
+
+
+def test_packed_obs_update_matches_full_width():
+    """The packed-feat update (obs columns = OBS_USED, sliced Dense_0
+    kernel) must produce the SAME parameters as the generic full-width
+    update on zero-padded observations — dropping structurally-zero
+    inputs is an identity on the network and its gradients."""
+    from madrona_basketball_tpu import constants as C
+    from madrona_basketball_tpu.models.agent import init_agent
+    from madrona_basketball_tpu.ppo.train import (make_optimizer,
+                                                  make_update_fns)
+
+    hp = PPOParams(num_envs=4, num_rollout_steps=8, num_minibatches=2,
+                   update_epochs=2, shuffle_block=1)
+    total = hp.rollout_batch_size
+    net, ap = init_agent(jax.random.PRNGKey(0))
+    tx = make_optimizer(hp)
+    opt_state = tx.init(ap.params)
+    rng = np.random.RandomState(5)
+    used = C.OBS_USED
+    obs_used = jnp.asarray(rng.normal(size=(total, used)), jnp.float32)
+    obs_full = jnp.pad(obs_used, ((0, 0), (0, C.OBS_SIZE - used)))
+    actions = jnp.asarray(rng.randint(0, 2, (total, 6)), jnp.int32)
+    lp = jnp.asarray(rng.normal(size=(total,)) * 0.1, jnp.float32)
+    vn = jnp.asarray(rng.normal(size=(total,)), jnp.float32)
+    adv = jnp.asarray(rng.normal(size=(total,)), jnp.float32)
+    rn = jnp.asarray(rng.normal(size=(total,)), jnp.float32)
+    key = jax.random.PRNGKey(9)
+
+    _, update_policy = make_update_fns(hp, net)
+    buf = dict(obs=obs_full, actions=actions, log_probs=lp)
+    agent_full, _ = update_policy(ap, opt_state, buf, adv, vn, rn, key)
+
+    feat = jnp.concatenate([
+        obs_used, actions.astype(jnp.float32), lp[:, None], vn[:, None],
+        adv[:, None], rn[:, None]], axis=-1)
+    agent_packed, _ = update_policy.with_feat(ap, opt_state, feat, used,
+                                              6, key)
+    for a, b in zip(jax.tree_util.tree_leaves(agent_full.params),
+                    jax.tree_util.tree_leaves(agent_packed.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
 def test_shuffle_block_warns_when_not_dividing():
     hp = PPOParams(num_envs=8, num_rollout_steps=8, num_minibatches=2,
                    update_epochs=1, shuffle_block=7)
