@@ -20,8 +20,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from . import engine
 from .config import SimConfig
 from .env import BasketballEnv
+from .export import export_tensors
 from .models import agent as agent_lib
 from .models.agent import AgentParams, init_agent
 from .utils.checkpoint import load_agent
@@ -45,10 +47,55 @@ def make_policy_fn(net, ap: AgentParams, key: jax.Array,
     return policy
 
 
+def _make_eval_chunk(cfg: SimConfig, net, trainee_idx: int,
+                     stochastic: bool, use_frozen: bool, K: int):
+    """K policy+sim steps per device dispatch for the eval loop, with
+    the per-step npz log tensors collected on device and fetched once
+    per chunk — removes the per-step host round-trip of the naive loop
+    (2-30 ms each through a remote-TPU tunnel)."""
+    ti = trainee_idx
+    fi = 1 - trainee_idx
+    vstep = jax.vmap(lambda w: engine.step(cfg, w))
+
+    @jax.jit
+    def chunk(state, ap, fp, key):
+        def body(carry, _):
+            state, key = carry
+            key, k1, k2 = jax.random.split(key, 3)
+            actions, _, _ = agent_lib.forward(
+                net, ap, state.agents.obs[:, ti], k1,
+                stochastic=stochastic)
+            acts = state.agents.action.at[:, ti].set(actions)
+            if use_frozen:
+                fa, _, _ = agent_lib.forward(net, fp,
+                                             state.agents.obs[:, fi], k2)
+                acts = acts.at[:, fi].set(fa)
+            state = vstep(state.replace(
+                agents=state.agents.replace(action=acts)))
+            t = export_tensors(state)
+            log = {"agent_pos": t["agent_pos"],
+                   "ball_pos": t["basketball_pos"],
+                   "ball_vel": t["ball_velocity"],
+                   "orientation": t["orientation"],
+                   "ball_physics": t["ball_physics"],
+                   "agent_possession": t["agent_possession"],
+                   "game_state": t["game_state"],
+                   "rewards": t["reward"],
+                   "actions": t["action"],
+                   "done": state.agents.done[:, ti]}
+            return (state, key), log
+        (state, key), logs = jax.lax.scan(body, (state, key), None,
+                                          length=K)
+        return state, key, logs
+
+    return chunk
+
+
 def infer(env: BasketballEnv, net, policy_params: AgentParams,
           log_path: str = "logs/trajectories.npz", num_episodes: int = 5,
           max_steps: int = 10000, stochastic: bool = True, seed: int = 0,
-          trainee_idx: int = 1):
+          trainee_idx: int = 1, frozen_params: AgentParams = None,
+          chunk_size: int = 0):
     env.set_agent_idx(trainee_idx)
     policy = make_policy_fn(net, policy_params, jax.random.PRNGKey(seed),
                             stochastic)
@@ -68,6 +115,19 @@ def infer(env: BasketballEnv, net, policy_params: AgentParams,
 
     obs, _, _ = env.reset()
     episode_counts = np.zeros(env.num_worlds, dtype=np.int64)
+
+    # Chunked fast path: no viewer attached -> no per-step interactivity
+    # needed, so K steps run as one dispatch and the trajectory slices
+    # are fetched once per chunk (episode-completion is then checked at
+    # chunk granularity; the npz may carry up to K-1 trailing steps).
+    if chunk_size == 0:
+        chunk_size = 1 if env.viewer is not None else 32
+    if chunk_size > 1 and env.viewer is None:
+        return _infer_chunked(env, net, policy_params, frozen_params,
+                              log_path, num_episodes, max_steps,
+                              stochastic, seed, trainee_idx, chunk_size,
+                              trajectory_log, static_log, episode_counts)
+
     step = 0
     while step < max_steps:
         actions = policy(obs)
@@ -113,6 +173,48 @@ def infer(env: BasketballEnv, net, policy_params: AgentParams,
     return episode_counts
 
 
+def _infer_chunked(env, net, policy_params, frozen_params, log_path,
+                   num_episodes, max_steps, stochastic, seed, trainee_idx,
+                   chunk_size, trajectory_log, static_log, episode_counts):
+    use_frozen = frozen_params is not None or env.frozen_policy is not None
+    if use_frozen and frozen_params is None:
+        raise ValueError("chunked eval with a frozen opponent needs "
+                         "frozen_params (AgentParams), not a host "
+                         "callable; pass chunk_size=1 to keep the "
+                         "per-step path")
+    chunk_fn = _make_eval_chunk(env.cfg, net, trainee_idx, stochastic,
+                                use_frozen, chunk_size)
+    fp = frozen_params if use_frozen else policy_params  # unused filler
+    key = jax.random.PRNGKey(seed)
+    state = env.state
+    step = 0
+    while step < max_steps:
+        state, key, logs = chunk_fn(state, policy_params, fp, key)
+        logs_np = jax.device_get(logs)  # ONE fetch per K steps
+        K = min(chunk_size, max_steps - step)
+        for t in range(K):
+            if log_path:
+                trajectory_log.append(
+                    {k: np.asarray(v[t]) for k, v in logs_np.items()})
+            if num_episodes > 0:
+                episode_counts += logs_np["done"][t].astype(np.int64)
+        step += K
+        if num_episodes > 0 and np.all(episode_counts >= num_episodes):
+            print(f"All environments have completed "
+                  f"{num_episodes} episodes.")
+            break
+    env.state = state
+
+    if log_path and trajectory_log:
+        episode_log = {k: np.array([e[k] for e in trajectory_log])
+                       for k in trajectory_log[0]}
+        static_log["num_episodes"] = num_episodes
+        np.savez_compressed(log_path, **static_log, **episode_log)
+        print(f"Finished logging. Trajectory saved to {log_path}")
+    print("Inference Complete")
+    return episode_counts
+
+
 def multi_gen_infer(model_name: str, num_envs: int = 10,
                     frozen_checkpoint: str = None, trainee_idx: int = 1,
                     num_episodes: int = 5, max_steps: int = 10000,
@@ -133,18 +235,19 @@ def multi_gen_infer(model_name: str, num_envs: int = 10,
         path = os.path.join(search_dir, name)
         log_path = f"logs/mgi/{model_name}_/{name.replace('.ckpt', '.npz')}"
         print(f"Testing checkpoint: {path} -> {log_path}")
-        frozen_fn = None
+        frozen_fn, frozen_params = None, None
         if frozen_checkpoint:
-            frozen = load_agent(frozen_checkpoint, template)
-            fp = make_policy_fn(net, frozen,
-                                jax.random.PRNGKey(test_seed + 1), True)
-            frozen_fn = fp
+            frozen_params = load_agent(frozen_checkpoint, template)
+            frozen_fn = make_policy_fn(net, frozen_params,
+                                       jax.random.PRNGKey(test_seed + 1),
+                                       True)
         env = BasketballEnv(num_envs, cfg, seed=test_seed,
                             frozen_policy=frozen_fn,
                             trainee_agent_idx=trainee_idx)
         params = load_agent(path, template)
         infer(env, net, params, log_path, num_episodes, max_steps,
-              stochastic, seed=test_seed, trainee_idx=trainee_idx)
+              stochastic, seed=test_seed, trainee_idx=trainee_idx,
+              frozen_params=frozen_params)
 
 
 def main(argv=None):
@@ -171,10 +274,10 @@ def main(argv=None):
     if args.model_name is None:
         cfg = SimConfig()
         net, template = init_agent(jax.random.PRNGKey(0))
-        frozen_fn = None
+        frozen_fn, frozen_params = None, None
         if args.frozen_checkpoint:
-            frozen = load_agent(args.frozen_checkpoint, template)
-            frozen_fn = make_policy_fn(net, frozen,
+            frozen_params = load_agent(args.frozen_checkpoint, template)
+            frozen_fn = make_policy_fn(net, frozen_params,
                                        jax.random.PRNGKey(args.test_seed + 1),
                                        True)
         viewer = None
@@ -190,7 +293,7 @@ def main(argv=None):
         params = load_agent(args.trainee_checkpoint, template)
         infer(env, net, params, args.log_path, args.num_episodes,
               args.max_steps, not args.deterministic, seed=args.test_seed,
-              trainee_idx=args.trainee_idx)
+              trainee_idx=args.trainee_idx, frozen_params=frozen_params)
     else:
         multi_gen_infer(args.model_name, args.num_envs,
                         args.frozen_checkpoint, args.trainee_idx,

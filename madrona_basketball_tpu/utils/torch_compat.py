@@ -82,3 +82,35 @@ def load_torch_agent(path: str) -> AgentParams:
     import torch
     sd = torch.load(path, map_location="cpu", weights_only=True)
     return agent_params_from_torch_state_dict(sd)
+
+
+def torch_state_dict_from_agent_params(ap: AgentParams) -> dict:
+    """The inverse mapping: AgentParams -> a reference-format state_dict
+    (numpy values; feed to torch.nn.Module.load_state_dict after
+    tensor-ifying, or torch.save directly).  Enables (a) initializing the
+    cross-check torch trainer from the exact flax weights and (b)
+    exporting checkpoints trained here back to the reference stack."""
+    pp = ap.params["params"]
+    dense = sorted(int(k.split("_")[1]) for k in pp if k.startswith("Dense"))
+    n_backbone = len([k for k in pp if k.startswith("LayerNorm")])
+    sd = {}
+    for li in range(n_backbone):
+        sd[f"backbone.{3 * li}.weight"] = np.asarray(
+            pp[f"Dense_{li}"]["kernel"]).T.copy()
+        sd[f"backbone.{3 * li}.bias"] = np.asarray(
+            pp[f"Dense_{li}"]["bias"])
+        sd[f"backbone.{3 * li + 1}.weight"] = np.asarray(
+            pp[f"LayerNorm_{li}"]["scale"])
+        sd[f"backbone.{3 * li + 1}.bias"] = np.asarray(
+            pp[f"LayerNorm_{li}"]["bias"])
+    actor, critic = dense[-2], dense[-1]
+    sd["actor.weight"] = np.asarray(pp[f"Dense_{actor}"]["kernel"]).T.copy()
+    sd["actor.bias"] = np.asarray(pp[f"Dense_{actor}"]["bias"])
+    sd["critic.weight"] = np.asarray(pp[f"Dense_{critic}"]["kernel"]).T.copy()
+    sd["critic.bias"] = np.asarray(pp[f"Dense_{critic}"]["bias"])
+    for prefix, rms in (("obs_norm", ap.obs_rms),
+                        ("value_norm", ap.value_rms)):
+        sd[f"{prefix}.mean"] = np.asarray(rms.mean, np.float64)
+        sd[f"{prefix}.var"] = np.asarray(rms.var, np.float64)
+        sd[f"{prefix}.count"] = np.asarray(rms.count, np.float64)
+    return sd

@@ -78,3 +78,25 @@ def test_rules_controller():
     ctl = RulesController()
     act = ctl.get_action(obs)
     assert act.shape == (6,)
+
+
+def test_infer_chunked_matches_perstep_schema(tmp_path):
+    """Chunked eval (one dispatch per K steps, one fetch per chunk) and
+    the per-step path must emit the same npz schema and both count
+    completed episodes; with a short clock both finish episodes."""
+    from madrona_basketball_tpu.infer import infer as _infer
+    cfg = SimConfig(time_per_period=0.5)
+    net, ap = init_agent(jax.random.PRNGKey(2))
+    paths = {}
+    for name, chunk in (("perstep", 1), ("chunked", 16)):
+        path = str(tmp_path / f"{name}.npz")
+        env = BasketballEnv(4, cfg, seed=3)
+        counts = _infer(env, net, ap, log_path=path, num_episodes=1,
+                        max_steps=64, stochastic=True, seed=0,
+                        trainee_idx=1, chunk_size=chunk)
+        assert (counts >= 1).all(), f"{name}: episodes not completed"
+        paths[name] = dict(np.load(path, allow_pickle=True))
+    a, b = paths["perstep"], paths["chunked"]
+    assert set(a.keys()) == set(b.keys())
+    for k in ("agent_pos", "game_state", "actions"):
+        assert a[k].shape[1:] == b[k].shape[1:], k
