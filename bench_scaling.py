@@ -113,7 +113,10 @@ def sweep(per_device_worlds: int = 4096, rollout_steps: int = 32,
             from madrona_basketball_tpu.ops.fused_step import \
                 make_fused_multistep
             K = 2000
-            ms_kern = make_fused_multistep(cfg, per_device_worlds, K)
+            # honest workload: obs + blanked trainee actions every tick
+            ms_kern = make_fused_multistep(cfg, per_device_worlds, K,
+                                           obs_every_tick=True,
+                                           blank_agent=0)
 
             def ms_local(seed, sf, si):
                 shard_seed = seed + jax.lax.axis_index("data") * 7919

@@ -214,9 +214,9 @@ class ViewerClass:
                     possession=None, events=(), trails=None):
         self._draw_court(hoop_pos)
         if trails:
-            for color, pts in trails:
-                for p in pts:
-                    self.pg.draw.circle(self.screen, color,
+            for pts, cols in trails:
+                for p, c in zip(pts, cols):
+                    self.pg.draw.circle(self.screen, c,
                                         self._to_screen(p[0], p[1]), 2)
         for ev in events:
             vis = ev["visual"]
@@ -362,6 +362,7 @@ class ViewerClass:
             paths = [paths]
         pg = self.pg
         file_idx, episode_idx, frame, paused, trails_on = 0, 0, 0, False, True
+        fading_on = True  # F toggles; scripts/viewer.py:962,1388-1390
         raw, episodes, events = self.load_and_parse_log(paths[file_idx])
 
         def load(fi):
@@ -378,6 +379,8 @@ class ViewerClass:
                         paused = not paused
                     elif event.key == pg.K_t:
                         trails_on = not trails_on
+                    elif event.key == pg.K_f:
+                        fading_on = not fading_on
                     elif event.key == pg.K_RIGHT and paused:
                         frame += 1
                     elif event.key == pg.K_LEFT and paused:
@@ -416,10 +419,19 @@ class ViewerClass:
             trails = None
             if trails_on:
                 trails = []
+                ep_len = max(s1 - s0, 1)
                 for a in range(raw["agent_pos"].shape[2]):
-                    color = V.TEAM0_COLOR if a % 2 == 0 else V.TEAM1_COLOR
-                    pts = raw["agent_pos"][s0:t + 1, 0, a, :2]
-                    trails.append((color, pts[::4]))
+                    base = V.TEAM0_COLOR if a % 2 == 0 else V.TEAM1_COLOR
+                    pts = raw["agent_pos"][s0:t + 1, 0, a, :2][::4]
+                    if fading_on:
+                        # older points darker: c * (1 - 0.5 * age_frac)
+                        # (scripts/viewer.py:1388-1390)
+                        ages = (t - np.arange(s0, t + 1)[::4]) / ep_len
+                        cols = [tuple(int((1.0 - 0.5 * x) * c)
+                                      for c in base) for x in ages]
+                    else:
+                        cols = [base] * len(pts)
+                    trails.append((pts, cols))
 
             frame_events = [e for e in events if s0 <= e["step"] <= t]
             hoop_pos = raw.get("hoop_pos")

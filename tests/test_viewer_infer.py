@@ -100,3 +100,35 @@ def test_infer_chunked_matches_perstep_schema(tmp_path):
     assert set(a.keys()) == set(b.keys())
     for k in ("agent_pos", "game_state", "actions"):
         assert a[k].shape[1:] == b[k].shape[1:], k
+
+
+def test_viewer_fading_trails_render(trajectory_npz):
+    """Trail points render with per-point faded colors (reference
+    scripts/viewer.py:962,1388-1390: older points darker by up to 50%)."""
+    from madrona_basketball_tpu.viewer import constants as V
+    from madrona_basketball_tpu.viewer.app import ViewerClass
+
+    raw, episodes, _ = ViewerClass.load_and_parse_log(trajectory_npz)
+    s0, s1 = episodes[0]
+    t = s1 - 1
+    ep_len = max(s1 - s0, 1)
+    trails = []
+    for a in range(raw["agent_pos"].shape[2]):
+        base = V.TEAM0_COLOR if a % 2 == 0 else V.TEAM1_COLOR
+        pts = raw["agent_pos"][s0:t + 1, 0, a, :2][::4]
+        ages = (t - np.arange(s0, t + 1)[::4]) / ep_len
+        cols = [tuple(int((1.0 - 0.5 * x) * c) for c in base)
+                for x in ages]
+        assert all(0 <= v <= 255 for c in cols for v in c)
+        # oldest point strictly darker than newest when span > 0
+        if len(cols) > 1:
+            assert sum(cols[0]) < sum(cols[-1])
+        trails.append((pts, cols))
+    viewer = ViewerClass(headless=True)
+    hp = np.asarray(raw["hoop_pos"]).reshape(-1, 3)
+    viewer._draw_frame(raw["agent_pos"][t, 0], raw["orientation"][t, 0],
+                       raw["ball_pos"][t, 0, 0], hp,
+                       raw["game_state"][t, 0],
+                       possession=raw["agent_possession"][t, 0],
+                       trails=trails)
+    viewer.pg.display.flip()
