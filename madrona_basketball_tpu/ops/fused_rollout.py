@@ -66,7 +66,10 @@ R_LOGP = R_ACT + 6
 R_VALUE = R_LOGP + 1
 R_REW = R_VALUE + 1
 R_DONE = R_REW + 1
-ROLL_ROWS = ((R_DONE + 1 + 7) // 8) * 8  # 120
+# Padded to a full 128-lane tile: a (total, 128) feat matrix gathers
+# measurably faster than (total, 120) (aligned minor dim), worth the 7%
+# extra trajectory traffic.
+ROLL_ROWS = 128
 
 # External-noise chunk layout (test path): rows 0..8 sim noise (same
 # semantics as layout.N_NOISE_ROWS), rows 16..34 trainee uniforms,

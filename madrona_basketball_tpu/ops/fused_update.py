@@ -1,0 +1,306 @@
+"""Fused PPO minibatch gradient: forward + hand-derived backward in ONE
+Pallas kernel.
+
+Profiling the production iteration (BENCHMARKS.md round 2) shows each
+autodiff minibatch grad step costs ~500 us: XLA round-trips activations
+through HBM between forward and backward, and the many (R, n<128)
+row-major temporaries carry heavy lane padding.  The policy is a 2x32
+MLP, so per 2048-sample block every activation fits in VMEM — this
+kernel streams the minibatch feat rows from HBM once, transposes each
+block to FEATURE-MAJOR on-chip (tensors are (features, R): full lane
+utilization, only sublane padding), runs forward + manual backward, and
+accumulates parameter gradients across grid steps in VMEM-resident
+output blocks.
+
+Per-bucket categorical math is expressed without python-loop slicing:
+segment matmuls against a constant (n_buckets, N_LOGITS) membership
+matrix compute bucket log-sum-exps, entropies, and their broadcasts as
+dense (N_LOGITS, R) operations (a (19, R) slice per bucket would each
+pad to full tiles and blow the scoped VMEM budget — the failure mode of
+the first, row-major version of this kernel).
+
+The differentiated function is exactly ppo/train.make_update_fns's
+loss (packed-obs normalize, Dense->LayerNorm(fast variance)->ReLU x2,
+combined actor+value head, clipped surrogate + clipped value loss +
+entropy, means over the minibatch).  Gradient equivalence with jax.grad
+of that loss is pinned by tests/test_fused_update.py.  Branch ties
+follow jnp.maximum's rule (cotangent to the first operand when equal),
+which matters because the unclipped-surrogate tie is the common case.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .. import constants as C
+
+F32 = jnp.float32
+I32 = jnp.int32
+BUCKETS = tuple(C.ACTION_BUCKETS)
+N_LOGITS = sum(BUCKETS)           # 19
+N_OUT = N_LOGITS + 1              # actor rows + value row
+NB = len(BUCKETS)                 # 6
+H = 32                            # hidden width
+LN_EPS = 1e-6
+RMS_EPS = 1e-5
+
+# bias-matrix column layout (shared with the caller):
+#   0 b1 | 1 ln1.scale | 2 ln1.bias | 3 b2 | 4 ln2.scale | 5 ln2.bias
+#   6 head bias (first N_OUT rows) | 7 unused
+N_BCOL = 8
+
+# segment membership: SEG[b, j] = 1 iff logit j belongs to bucket b
+_SEG = np.zeros((NB, N_LOGITS), np.float32)
+_BASE = np.zeros((NB,), np.float32)  # first logit index of each bucket
+_off = 0
+for _b, _n in enumerate(BUCKETS):
+    _SEG[_b, _off:_off + _n] = 1.0
+    _BASE[_b] = _off
+    _off += _n
+
+
+def pack_norm(obs_rms, D: int):
+    """RMSState -> the kernel's (2, D) [mean; rsqrt(var+eps)] matrix
+    (fixed for the whole update phase)."""
+    return jnp.stack([obs_rms.mean[:D],
+                      jax.lax.rsqrt(obs_rms.var[:D] + RMS_EPS)],
+                     axis=0).astype(F32)
+
+
+def pack_weights(params, D: int):
+    """Param pytree -> (w1t (H,D), w2t (H,H), wht (N_OUT,H),
+    bias (H, N_BCOL)) — pre-transposed for the feature-major forward,
+    recomputed per grad step from the live parameters (tiny)."""
+    pp = params["params"]
+    w1t = pp["Dense_0"]["kernel"][:D].T.astype(F32)
+    w2t = pp["Dense_1"]["kernel"].T.astype(F32)
+    wht = jnp.concatenate([pp["Dense_2"]["kernel"],
+                           pp["Dense_3"]["kernel"]], axis=1).T.astype(F32)
+    head_b = jnp.concatenate([pp["Dense_2"]["bias"],
+                              pp["Dense_3"]["bias"]])
+    head_b = jnp.pad(head_b, (0, H - N_OUT))
+    bias = jnp.stack([
+        pp["Dense_0"]["bias"], pp["LayerNorm_0"]["scale"],
+        pp["LayerNorm_0"]["bias"], pp["Dense_1"]["bias"],
+        pp["LayerNorm_1"]["scale"], pp["LayerNorm_1"]["bias"],
+        head_b, jnp.zeros((H,), F32)], axis=1).astype(F32)
+    return w1t, w2t, wht, bias
+
+
+def grads_to_tree(params, dw1t, dw2t, dwht, dbias, D: int):
+    """Kernel outputs (transposed orientations) -> a gradient pytree
+    matching `params` (zeros for the unused obs-tail rows of Dense_0,
+    exactly as autodiff of the sliced forward produces)."""
+    full_rows = params["params"]["Dense_0"]["kernel"].shape[0]
+    g = {
+        "Dense_0": {
+            "kernel": jnp.concatenate(
+                [dw1t.T, jnp.zeros((full_rows - D, H), F32)], axis=0),
+            "bias": dbias[:, 0],
+        },
+        "LayerNorm_0": {"scale": dbias[:, 1], "bias": dbias[:, 2]},
+        "Dense_1": {"kernel": dw2t.T, "bias": dbias[:, 3]},
+        "LayerNorm_1": {"scale": dbias[:, 4], "bias": dbias[:, 5]},
+        "Dense_2": {"kernel": dwht.T[:, :N_LOGITS],
+                    "bias": dbias[:N_LOGITS, 6]},
+        "Dense_3": {"kernel": dwht.T[:, N_LOGITS:],
+                    "bias": dbias[N_LOGITS:N_OUT, 6]},
+    }
+    return {"params": g}
+
+
+def _ln_fwd(z, scale, bias):
+    """Feature axis 0; flax fast-variance numerics."""
+    mu = jnp.mean(z, axis=0, keepdims=True)
+    mu2 = jnp.mean(z * z, axis=0, keepdims=True)
+    var = jnp.maximum(mu2 - mu * mu, 0.0)
+    rstd = jax.lax.rsqrt(var + LN_EPS)
+    hhat = (z - mu) * rstd
+    return hhat, rstd, hhat * scale + bias
+
+
+def _ln_bwd(dy, hhat, rstd, scale):
+    dhhat = dy * scale
+    m1 = jnp.mean(dhhat, axis=0, keepdims=True)
+    m2 = jnp.mean(dhhat * hhat, axis=0, keepdims=True)
+    dz = rstd * (dhhat - m1 - hhat * m2)
+    return dz, jnp.sum(dy * hhat, axis=1), jnp.sum(dy, axis=1)
+
+
+def _mm(a, b):
+    return jnp.dot(a, b, preferred_element_type=F32)
+
+
+def _mm_rc(a, b):
+    """Contract the trailing (R) axis of both operands: (m, R) x (n, R)
+    -> (m, n)."""
+    return jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
+                               preferred_element_type=F32)
+
+
+def make_fused_minibatch_grad(hp, D: int, mb_size: int,
+                              block_rows: int = 2048,
+                              interpret: bool = False):
+    """Build grad_fn(feat_mb (mb, F), nrm, w1t, w2t, wht, bias) ->
+    (dw1t, dw2t, dwht, dbias) for one minibatch.  F must carry the
+    run_epochs column contract: obs 0:D | actions D:D+6 | logp | value_n
+    | advantage | return_n."""
+    assert mb_size % block_rows == 0
+    grid = (mb_size // block_rows,)
+    K = NB
+    inv_mb = 1.0 / mb_size
+    clip = hp.clip_coef
+    vf_coef = hp.vf_coef
+    ent_coef = hp.ent_coef
+    clip_vloss = hp.clip_vloss
+
+    def kernel(feat, nrm_r, w1t_r, w2t_r, wht_r, bias_r, seg_r, segT_r,
+               base_r, dw1_o, dw2_o, dwh_o, dbias_o):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            dw1_o[...] = jnp.zeros_like(dw1_o)
+            dw2_o[...] = jnp.zeros_like(dw2_o)
+            dwh_o[...] = jnp.zeros_like(dwh_o)
+            dbias_o[...] = jnp.zeros_like(dbias_o)
+
+        nrm = nrm_r[...]
+        w1t = w1t_r[...]
+        w2t = w2t_r[...]
+        wht = wht_r[...]
+        bias = bias_r[...]
+        ft = feat[...].T                      # (F, R) feature-major
+        R = ft.shape[1]
+        obs = ft[0:D]                         # (D, R)
+        act = ft[D:D + K]                     # (K, R)
+        lp_old = ft[D + K]
+        v_old = ft[D + K + 1]
+        adv = ft[D + K + 2]
+        ret = ft[D + K + 3]
+
+        seg = seg_r[...]                      # (NB, 19)
+        segT = segT_r[...]                    # (19, NB)
+        base_col = base_r[...]                # (NB, 1)
+
+        def col(v):                           # (H,) -> (H, 1) broadcast
+            return v[:, None]
+
+        # ---------------- forward (feature-major) ----------------
+        xn = jnp.clip((obs - col(nrm[0])) * col(nrm[1]), -5.0, 5.0)
+        z1 = _mm(w1t, xn) + col(bias[:, 0])
+        h1, rstd1, y1 = _ln_fwd(z1, col(bias[:, 1]), col(bias[:, 2]))
+        a1 = jnp.maximum(y1, 0.0)
+        z2 = _mm(w2t, a1) + col(bias[:, 3])
+        h2, rstd2, y2 = _ln_fwd(z2, col(bias[:, 4]), col(bias[:, 5]))
+        a2 = jnp.maximum(y2, 0.0)
+        out = _mm(wht, a2) + bias[0:N_OUT, 6][:, None]   # (N_OUT, R)
+        lg = out[0:N_LOGITS]                  # (19, R)
+        value = out[N_LOGITS]                 # (R,)
+
+        # global-max-shifted per-bucket softmax via segment matmuls
+        M = jnp.max(lg, axis=0, keepdims=True)            # (1, R)
+        E = jnp.exp(lg - M)                               # (19, R)
+        S = _mm(seg, E)                                   # (NB, R)
+        denom = _mm(segT, S)                              # (19, R)
+        p = E / denom
+        logz_b = jnp.log(S) + M                           # (NB, R)
+        LZ = _mm(segT, logz_b)                            # (19, R)
+        lognorm = lg - LZ                                 # log p
+        # selected one-hot from action indices: row j in bucket b is
+        # selected iff j == base_b + act_b
+        target = _mm(segT, base_col + act)                # (19, R)
+        # Mosaic iota must be integer-typed; cast for the float compare
+        rows_idx = jax.lax.broadcasted_iota(
+            I32, (N_LOGITS, R), 0).astype(F32)
+        oh = (rows_idx == target).astype(F32)
+        logp_new = jnp.sum(oh * lognorm, axis=0)          # (R,)
+        ent_rows = p * lognorm                            # (19, R)
+        H_b = -_mm(seg, ent_rows)                         # (NB, R)
+        HB = _mm(segT, H_b)                               # (19, R)
+
+        # ---------------- loss cotangents ----------------
+        ratio = jnp.exp(logp_new - lp_old)
+        surr1 = -adv * ratio
+        rclip = jnp.clip(ratio, 1.0 - clip, 1.0 + clip)
+        surr2 = -adv * rclip
+        take1 = surr1 >= surr2
+        inb = (ratio >= 1.0 - clip) & (ratio <= 1.0 + clip)
+        dratio = jnp.where(take1, -adv, jnp.where(inb, -adv, 0.0))
+        dlogp = dratio * ratio * inv_mb                   # (R,)
+
+        if clip_vloss:
+            vf = (value - ret) ** 2
+            dv_in = (value - v_old >= -clip) & (value - v_old <= clip)
+            vclip = v_old + jnp.clip(value - v_old, -clip, clip)
+            vfc = (vclip - ret) ** 2
+            takev = vf >= vfc
+            dvalue = jnp.where(
+                takev, value - ret,
+                jnp.where(dv_in, vclip - ret, 0.0)) * (vf_coef * inv_mb)
+        else:
+            dvalue = (value - ret) * (vf_coef * inv_mb)
+
+        dlg = dlogp[None, :] * (oh - p) + \
+            (ent_coef * inv_mb) * p * (lognorm + HB)
+        dout = jnp.concatenate([dlg, dvalue[None, :]], axis=0)
+
+        # ---------------- backward ----------------
+        da2 = _mm(wht.T, dout)                            # (H, R)
+        dwh_o[...] += _mm_rc(dout, a2)                    # (N_OUT, H)
+        dbh = jnp.sum(dout, axis=1)                       # (N_OUT,)
+
+        dy2 = da2 * (y2 > 0.0)
+        dz2, dg2, dbe2 = _ln_bwd(dy2, h2, rstd2, col(bias[:, 4]))
+        dw2_o[...] += _mm_rc(dz2, a1)                     # (H, H)
+        db2 = jnp.sum(dz2, axis=1)
+        da1 = _mm(w2t.T, dz2)
+
+        dy1 = da1 * (y1 > 0.0)
+        dz1, dg1, dbe1 = _ln_bwd(dy1, h1, rstd1, col(bias[:, 1]))
+        dw1_o[...] += _mm_rc(dz1, xn)                     # (H, D)
+        db1 = jnp.sum(dz1, axis=1)
+
+        dbias_o[...] += jnp.stack([
+            db1, dg1, dbe1, db2, dg2, dbe2,
+            jnp.pad(dbh, (0, H - N_OUT)), jnp.zeros((H,), F32)], axis=1)
+
+    def grad_fn(feat_mb, nrm, w1t, w2t, wht, bias):
+        F = feat_mb.shape[-1]
+
+        def const_spec(shape):
+            return pl.BlockSpec(shape, lambda i: (0, 0),
+                                memory_space=pltpu.VMEM)
+
+        call = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((block_rows, F), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                const_spec((2, D)), const_spec((H, D)),
+                const_spec((H, H)), const_spec((N_OUT, H)),
+                const_spec((H, N_BCOL)),
+                const_spec((NB, N_LOGITS)), const_spec((N_LOGITS, NB)),
+                const_spec((NB, 1)),
+            ],
+            out_specs=[const_spec((H, D)), const_spec((H, H)),
+                       const_spec((N_OUT, H)), const_spec((H, N_BCOL))],
+            out_shape=[
+                jax.ShapeDtypeStruct((H, D), F32),
+                jax.ShapeDtypeStruct((H, H), F32),
+                jax.ShapeDtypeStruct((N_OUT, H), F32),
+                jax.ShapeDtypeStruct((H, N_BCOL), F32),
+            ],
+            interpret=interpret,
+        )
+        return call(feat_mb, nrm, w1t, w2t, wht, bias,
+                    jnp.asarray(_SEG), jnp.asarray(_SEG.T),
+                    jnp.asarray(_BASE[:, None]))
+
+    return grad_fn

@@ -145,11 +145,17 @@ def make_minibatch_update(hp: PPOParams):
             stacklevel=2)
         G = 1
 
-    def run_epochs(grad_step, params, opt_state, feat, D, K, key):
+    def run_epochs(grad_step, params, opt_state, feat, D, K, key,
+                   raw_feat: bool = False):
         """Epochs x shuffled minibatches over a PREBUILT feat matrix
         (total, F) whose first D + K + 4 columns are obs | actions |
         log_prob | value_n | advantage | return_n (F may carry trailing
-        padding columns, which are ignored)."""
+        padding columns, which are ignored).
+
+        raw_feat=True hands grad_step the whole (minibatch, F) matrix
+        instead of sliced columns — the contract of the fused Pallas
+        gradient kernel (ops/fused_update.py), which does its own
+        column slicing on-chip."""
         total = hp.rollout_batch_size
         F = feat.shape[-1]
         # 3-D super-rows: the gather permutes dim 0 and the post-gather
@@ -162,22 +168,29 @@ def make_minibatch_update(hp: PPOParams):
 
         def mb_body(carry, fe):
             fe = fe.reshape(hp.minibatch_size, F)
+            if raw_feat:
+                return grad_step(carry, fe), None
             o = fe[:, :D]
             a = fe[:, D:D + K].astype(I32)
             return grad_step(carry, o, a, fe[:, D + K],
                              fe[:, D + K + 1], fe[:, D + K + 2],
                              fe[:, D + K + 3]), None
 
-        def epoch_body(carry, ekey):
-            perm = jax.random.permutation(ekey, rows)
+        def epoch_body(carry, perm):
             feat_e = featG[perm].reshape(
                 hp.num_minibatches, hp.minibatch_size // G, G, F)
             carry, _ = jax.lax.scan(mb_body, carry, feat_e)
             return carry, None
 
-        ekeys = jax.random.split(key, hp.update_epochs)
+        # All epochs' permutations in ONE batched argsort (argsort of iid
+        # uniforms per row == an independent uniform permutation per row,
+        # the same construction jax.random.permutation uses internally) —
+        # a device sort costs ~0.4-1.7 ms, so batching the E sorts into
+        # one saves most of that cost E-1 times over.
+        perms = jnp.argsort(
+            jax.random.uniform(key, (hp.update_epochs, rows)), axis=1)
         (params, opt_state), _ = jax.lax.scan(
-            epoch_body, (params, opt_state), ekeys)
+            epoch_body, (params, opt_state), perms)
         return params, opt_state
 
     def update(grad_step, params, opt_state, buf, advantages, values_n,
@@ -310,6 +323,7 @@ def make_update_fns(hp: PPOParams, net: ActorCritic):
         return agent.replace(params=params), opt_state
 
     update_policy.with_feat = update_policy_feat
+    update_policy.loss_fn = loss_fn  # exposed for gradient cross-checks
     return compute_advantages, update_policy
 
 

@@ -78,7 +78,8 @@ def make_train_iteration_fused(cfg: SimConfig, hp: PPOParams,
                                net: ActorCritic, backend: str = "pallas",
                                block: int = 2048, mesh=None,
                                rollout_kernel: bool = False,
-                               rollout_interpret: bool = False):
+                               rollout_interpret: bool = False,
+                               fused_grads: bool = True):
     """`mesh`: optional jax.sharding.Mesh with a 'data' axis.  When given,
     the sim kernel runs under shard_map with worlds split across devices
     (a Pallas custom call does not auto-partition); everything else (policy,
@@ -243,6 +244,44 @@ def make_train_iteration_fused(cfg: SimConfig, hp: PPOParams,
         OBS = C.OBS_SIZE
         _, _update_policy = make_update_fns(hp, net)
         update_policy_feat = _update_policy.with_feat
+
+        if fused_grads:
+            # Hand-derived forward+backward Pallas kernel per minibatch
+            # (ops/fused_update.py): feature-major on-chip, activations
+            # never leave VMEM, the minibatch feat rows stream from HBM
+            # exactly once.  Gradient-exact vs autodiff
+            # (tests/test_fused_update.py).
+            import optax
+
+            from ..ops import fused_update as FU
+            from .train import make_minibatch_update
+            _mbu = make_minibatch_update(hp)
+            br = next(b for b in (2048, 1024, 512, 256, 128, 64, 32,
+                                  hp.minibatch_size)
+                      if hp.minibatch_size % b == 0)
+            mbg = FU.make_fused_minibatch_grad(
+                hp, FR.ROLL_OBS, hp.minibatch_size, block_rows=br,
+                interpret=rollout_interpret)
+
+            def update_policy_feat(agent, opt_state, feat, D, K, key):  # noqa: F811
+                nrm = FU.pack_norm(agent.obs_rms, FR.ROLL_OBS)
+
+                def raw_grad_step(carry, fe):
+                    params, opt_state_ = carry
+                    w1, w2, wh, bias = FU.pack_weights(params,
+                                                       FR.ROLL_OBS)
+                    dw1, dw2, dwh, dbias = mbg(fe, nrm, w1, w2, wh, bias)
+                    grads = FU.grads_to_tree(params, dw1, dw2, dwh,
+                                             dbias, FR.ROLL_OBS)
+                    updates, opt_state_ = tx.update(grads, opt_state_,
+                                                    params)
+                    return (optax.apply_updates(params, updates),
+                            opt_state_)
+
+                params, opt_state = _mbu.run_epochs(
+                    raw_grad_step, agent.params, opt_state, feat, D, K,
+                    key, raw_feat=True)
+                return agent.replace(params=params), opt_state
 
         @jax.jit
         def train_iteration_kernel(ts: FusedTrainState):
