@@ -71,7 +71,7 @@ def main():
         from madrona_basketball_tpu.models import agent as agent_lib
         ti_lo = hp.trainee_idx * 128
         buf = dict(
-            obs=jnp.swapaxes(traj[:, 0:128, :], 1, 2),
+            obs=jnp.swapaxes(traj[:, 0:FR.ROLL_OBS, :], 1, 2),
             actions=jnp.swapaxes(
                 traj[:, FR.R_ACT:FR.R_ACT + 6, :], 1, 2).astype(jnp.int32),
             log_probs=traj[:, FR.R_LOGP, :],
