@@ -35,7 +35,6 @@ def main():
     from madrona_basketball_tpu.config import SimConfig
     from madrona_basketball_tpu.models.agent import init_agent
     from madrona_basketball_tpu.ops import fused_rollout as FR
-    from madrona_basketball_tpu.ops import layout
     from madrona_basketball_tpu.ppo.hparams import PPOParams
     from madrona_basketball_tpu.ppo.train import make_update_fns
     from madrona_basketball_tpu.ppo.train_fused import (

@@ -20,7 +20,9 @@ def main():
     enable_compile_cache()
     from madrona_basketball_tpu.models.agent import init_agent
     from madrona_basketball_tpu.ppo.hparams import PPOParams
-    from madrona_basketball_tpu.ppo.train import make_update_fns, make_optimizer
+    from madrona_basketball_tpu.ppo.train import (make_minibatch_update,
+                                                  make_optimizer,
+                                                  make_update_fns)
 
     W = int(sys.argv[1]) if len(sys.argv) > 1 else 8192
     hp = PPOParams(num_envs=W)

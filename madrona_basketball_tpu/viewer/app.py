@@ -24,8 +24,6 @@ from __future__ import annotations
 import math
 import os
 import time
-from typing import Optional
-
 import numpy as np
 
 from .. import constants as C
