@@ -38,7 +38,7 @@ def sweep(per_device_worlds: int = 4096, rollout_steps: int = 32,
           sim_steps: int = 500, reps: int = 3):
     import functools
 
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from madrona_basketball_tpu import DEFAULT_CONFIG, engine
@@ -77,7 +77,7 @@ def sweep(per_device_worlds: int = 4096, rollout_steps: int = 32,
         kern_sharded = shard_map(kern, mesh=mesh,
                                  in_specs=(row, row, row),
                                  out_specs=(row, row, row),
-                                 check_rep=False)
+                                 check_vma=False)
         noise_fn = make_noise_fn(cfg)
 
         @jax.jit
@@ -124,7 +124,7 @@ def sweep(per_device_worlds: int = 4096, rollout_steps: int = 32,
 
             ms_sharded = jax.jit(shard_map(
                 ms_local, mesh=mesh, in_specs=(P(), row, row),
-                out_specs=(row, row, row), check_rep=False))
+                out_specs=(row, row, row), check_vma=False))
             import jax.numpy as jnp
             seed = jnp.zeros((1,), jnp.int32)
             msf, msi, _ = ms_sharded(seed, sf, si)
@@ -142,8 +142,11 @@ def sweep(per_device_worlds: int = 4096, rollout_steps: int = 32,
         ts = shard_fused_train_state(
             TF.init_fused_train_state(cfg, hp, net, jax.random.PRNGKey(1)),
             mesh)
+        # the production training path: policy-in-the-loop rollout
+        # kernel + fused gradient kernel (TPU only)
         it = TF.make_train_iteration_fused(
-            cfg, hp, net, backend="pallas" if on_tpu else "xla", mesh=mesh)
+            cfg, hp, net, backend="pallas" if on_tpu else "xla", mesh=mesh,
+            rollout_kernel=on_tpu)
         ts, _m = it(ts)
         _fetch(ts.agent.params)
         best = float("inf")

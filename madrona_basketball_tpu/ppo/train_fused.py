@@ -117,13 +117,13 @@ def make_train_iteration_fused(cfg: SimConfig, hp: PPOParams,
 
     if mesh is not None:
         from jax.sharding import PartitionSpec as P
-        from jax.experimental.shard_map import shard_map
+        from jax import shard_map
         row_sharded = P(None, "data")
         kernel = shard_map(
             kernel, mesh=mesh,
             in_specs=(row_sharded, row_sharded, row_sharded),
             out_specs=(row_sharded, row_sharded, row_sharded),
-            check_rep=False)
+            check_vma=False)
 
     ti_lo = ti * C.OBS_SIZE
     fi_lo = fi * C.OBS_SIZE
@@ -212,7 +212,7 @@ def make_train_iteration_fused(cfg: SimConfig, hp: PPOParams,
                                    external_noise=rollout_interpret)
         if mesh is not None:
             from jax.sharding import PartitionSpec as P
-            from jax.experimental.shard_map import shard_map
+            from jax import shard_map
             rs = P(None, "data")
             n_p = 5 * (2 if hp.use_frozen else 1)
             rng_spec = rs if rollout_interpret else P("data")
@@ -220,7 +220,7 @@ def make_train_iteration_fused(cfg: SimConfig, hp: PPOParams,
                 rk, mesh=mesh,
                 in_specs=(rng_spec, rs, rs, rs) + (P(),) * n_p,
                 out_specs=(rs, rs, rs, P(None, None, "data")),
-                check_rep=False)
+                check_vma=False)
 
         def make_rng_arg(ks):
             if not rollout_interpret:

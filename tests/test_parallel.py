@@ -105,7 +105,7 @@ def test_multistep_kernel_under_shard_map():
     the same trajectories as unsharded sequential stepping — validates
     the multi-chip path of the flagship held-action kernel (external
     noise; the on-chip-PRNG mode differs only in where draws come from)."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from madrona_basketball_tpu.ops import layout
@@ -132,7 +132,7 @@ def test_multistep_kernel_under_shard_map():
                                 external_noise=True)
     row = P(None, "data")
     sharded = shard_map(kern, mesh=mesh, in_specs=(row, row, row),
-                        out_specs=(row, row, row), check_rep=False)
+                        out_specs=(row, row, row), check_vma=False)
     put = lambda x: jax.device_put(x, NamedSharding(mesh, row))  # noqa
     sf_m, si_m, obs_m = sharded(put(noise), put(sf), put(si))
 
