@@ -71,8 +71,12 @@ def main():
         payload["adv_abs_mean"] = np.asarray(
             m["adv_abs_mean"].addressable_data(0))
         np.savez(out_path, **payload)
-    # All processes must reach here for the coordinator to exit cleanly.
-    jax.effects_barrier()
+    # Synchronize BEFORE process exit: without this, the non-writing
+    # worker can reach the atexit distributed-shutdown barrier while
+    # process 0 is still saving, and the barrier fails with "another
+    # task died" (observed as a flake under host load).
+    from jax.experimental import multihost_utils
+    multihost_utils.sync_global_devices("mp_worker_done")
 
 
 if __name__ == "__main__":
