@@ -164,7 +164,6 @@ def make_minibatch_update(hp: PPOParams):
         # relayout (~2.6 ms/iter at 8192 envs).
         featG = feat.reshape(total // G, G, F)
         rows = total // G
-        mb_rows = rows // hp.num_minibatches
 
         def mb_body(carry, fe):
             fe = fe.reshape(hp.minibatch_size, F)
