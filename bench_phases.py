@@ -4,6 +4,11 @@ fetch-synced, best of 3).  The phase sum slightly exceeds the fused
 whole-iteration time (extra dispatch boundaries) but shows where the
 milliseconds live.
 
+Note: this tool times the GENERIC phases in isolation (full-width obs,
+autodiff update) for diagnosis; the production iteration fuses them
+differently (packed obs, fused gradient kernel) and is substantially
+faster end-to-end — see bench_train.py and BENCHMARKS.md.
+
 Usage: python bench_phases.py [num_envs]
 """
 
@@ -70,7 +75,11 @@ def main():
         from madrona_basketball_tpu.models import agent as agent_lib
         ti_lo = hp.trainee_idx * 128
         buf = dict(
-            obs=jnp.swapaxes(traj[:, 0:FR.ROLL_OBS, :], 1, 2),
+            # zero-pad the packed obs back to the network width: this
+            # tool feeds the generic full-width compute_advantages,
+            # whose rms_update expects 128-dim rows
+            obs=jnp.pad(jnp.swapaxes(traj[:, 0:FR.ROLL_OBS, :], 1, 2),
+                        ((0, 0), (0, 0), (0, 128 - FR.ROLL_OBS))),
             actions=jnp.swapaxes(
                 traj[:, FR.R_ACT:FR.R_ACT + 6, :], 1, 2).astype(jnp.int32),
             log_probs=traj[:, FR.R_LOGP, :],

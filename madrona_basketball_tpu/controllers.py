@@ -52,11 +52,13 @@ class RulesController(Controller):
 
     The reference reads obs[30] as hasBall (scripts/controllers.py:89) but
     index 30 is actually the self-orientation quaternion's w component in
-    the observation layout; the true hasBall slot is the last element of the
-    self block (index 59).  This port uses the correct slot.
+    the observation layout; the true hasBall slot is the LAST element of
+    the 38-float self block, which starts at index 23 -> 23 + 37 = 60
+    (obs[59] is pointsWorth, always >= 2).  This port uses the correct
+    slot; tests/test_viewer_infer.py pins it against the live engine.
     """
 
-    HAS_BALL_IDX = 59
+    HAS_BALL_IDX = 60
 
     def get_action(self, obs, viewer_instance=None):
         obs = np.asarray(obs)

@@ -67,7 +67,10 @@ class RunningMeanStdT(nn.Module):
 
     @torch.no_grad()
     def update(self, x):
-        x = x.reshape(-1, x.shape[-1]).to(torch.float64)
+        # batch statistics in f32 exactly as the reference computes them
+        # (scripts/agent.py:43 — only the BUFFERS are f64; the promotion
+        # to f64 happens in the merge arithmetic below)
+        x = x.reshape(-1, x.shape[-1])
         var, mean = torch.var_mean(x, dim=0, unbiased=True)
         n = x.shape[0]
         total = self.count + n

@@ -183,14 +183,23 @@ def _infer_chunked(env, net, policy_params, frozen_params, log_path,
                          "per-step path")
     chunk_fn = _make_eval_chunk(env.cfg, net, trainee_idx, stochastic,
                                 use_frozen, chunk_size)
+    # Exact tail: a shorter chunk for the final max_steps % K steps, so
+    # the sim state never advances past max_steps.  (The
+    # episode-completion early-exit still checks at chunk granularity —
+    # the state may run up to K-1 steps past the stop; documented in
+    # PARITY.md.)
+    tail = max_steps % chunk_size
+    tail_fn = _make_eval_chunk(env.cfg, net, trainee_idx, stochastic,
+                               use_frozen, tail) if tail else None
     fp = frozen_params if use_frozen else policy_params  # unused filler
     key = jax.random.PRNGKey(seed)
     state = env.state
     step = 0
     while step < max_steps:
-        state, key, logs = chunk_fn(state, policy_params, fp, key)
+        K = chunk_size if max_steps - step >= chunk_size else tail
+        fn = chunk_fn if K == chunk_size else tail_fn
+        state, key, logs = fn(state, policy_params, fp, key)
         logs_np = jax.device_get(logs)  # ONE fetch per K steps
-        K = min(chunk_size, max_steps - step)
         for t in range(K):
             if log_path:
                 trajectory_log.append(

@@ -23,9 +23,14 @@ The differentiated function is exactly ppo/train.make_update_fns's
 loss (packed-obs normalize, Dense->LayerNorm(fast variance)->ReLU x2,
 combined actor+value head, clipped surrogate + clipped value loss +
 entropy, means over the minibatch).  Gradient equivalence with jax.grad
-of that loss is pinned by tests/test_fused_update.py.  Branch ties
-follow jnp.maximum's rule (cotangent to the first operand when equal),
-which matters because the unclipped-surrogate tie is the common case.
+of that loss is pinned by tests/test_fused_update.py.  Branch-tie note: at
+exact ties jnp.maximum actually SPLITS the cotangent 0.5/0.5 between
+operands; this kernel routes ties to the first operand instead.  The
+two agree everywhere reachable — in the common unclipped-surrogate tie
+both branches carry the SAME derivative, so any convex split sums to
+it — and differ only on the measure-zero event ratio == 1 +- clip
+exactly (0.75x vs 1x of -adv), which the equivalence tests cannot and
+need not hit.
 """
 
 from __future__ import annotations

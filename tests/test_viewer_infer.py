@@ -69,15 +69,29 @@ def test_viewer_embedded_tick():
 
 
 def test_rules_controller():
+    """HAS_BALL_IDX must point at the real hasBall slot in the live
+    engine's obs layout: agent 0 spawns holding the ball in 1v1, agent 1
+    does not, and the controller's branch must follow."""
+    import jax as _jax
+
     from madrona_basketball_tpu.controllers import RulesController
 
     cfg = SimConfig()
     env = BasketballEnv(4, cfg, seed=4)
     env.reset()
-    obs = np.asarray(env.get_obs()[0])
     ctl = RulesController()
-    act = ctl.get_action(obs)
-    assert act.shape == (6,)
+    obs_all = np.asarray(_jax.device_get(env.state.agents.obs))
+    has_ball = np.asarray(_jax.device_get(env.state.agents.has_ball))
+    for agent in range(2):
+        obs = obs_all[0, agent]
+        assert obs[ctl.HAS_BALL_IDX] == has_ball[0, agent], \
+            f"agent {agent}: obs[{ctl.HAS_BALL_IDX}] is not hasBall"
+        act = ctl.get_action(obs)
+        assert act.shape == (6,)
+        if has_ball[0, agent]:
+            assert act[5] == 1 and act[3] == 0   # shoot
+        else:
+            assert act[3] == 1 and act[5] == 0   # grab
 
 
 def test_infer_chunked_matches_perstep_schema(tmp_path):
