@@ -329,7 +329,11 @@ def make_train_iteration_fused(cfg: SimConfig, hp: PPOParams,
             # feat columns line up with run_epochs' contract: packed obs
             # 0:ROLL_OBS, actions next (R_ACT), then logp, value_n (over
             # R_VALUE), advantage (over R_REW), return_n (over R_DONE);
-            # trailing rows are padding.  The obs-rms update covers the
+            # trailing rows are padding.  The .at[].set row writes cost
+            # ~0.8 ms of whole-trajectory copies in the device trace,
+            # but building feat by concatenation instead measured WORSE
+            # (12.7 vs 8.7 ms/iter — the transpose stops fusing), so the
+            # simple form stays.  The obs-rms update covers the
             # structural-zero tail analytically (rms_update_padded).
             traj = traj.at[:, FR.R_VALUE, :].set(values_n)
             traj = traj.at[:, FR.R_REW, :].set(adv_n)
