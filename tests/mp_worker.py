@@ -61,8 +61,19 @@ def main():
     ts = shard_fused_train_state(ts, mesh)
     it = TF.make_train_iteration_fused(cfg, hp, net, backend="xla",
                                        mesh=mesh)
-    ts, _m = it(ts)
-    ts, m = it(ts)
+    # Compile LOCALLY first, then rendezvous with a generous timeout
+    # before the first execution: the Gloo collective setup allows only
+    # ~30 s between the first and last process reaching it, which a
+    # compile-time skew under host load can exceed (observed flake).
+    compiled = it.lower(ts).compile()
+    try:
+        from jax._src import distributed as _dist
+        _dist.global_state.client.wait_at_barrier("mbb_compiled",
+                                                  timeout_in_ms=600_000)
+    except Exception as e:  # private API; degrade to the old behavior
+        print(f"barrier skipped: {e}")
+    ts, _m = compiled(ts)
+    ts, m = compiled(ts)
 
     if pid == 0:
         leaves = jax.tree.leaves(ts.agent.params)
