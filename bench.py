@@ -68,8 +68,18 @@ def main(num_worlds: int = 8192, n_steps: int = 1000):
         np.asarray(jax.device_get(x[:1, :1]))
 
     # --- structured jit(vmap(step)) engine, host-dispatch loop ---
+    # Every candidate re-blanks the trainee's (agent 0) actions every
+    # tick — the per-step action write scripts/run.py pays — not just
+    # the multistep kernel (whose blank_agent=0 does it in-kernel).
     state = engine.init_batch(cfg, jax.random.PRNGKey(0), num_worlds)
-    step_fn = engine.make_step_fn(cfg)
+    _step_fn = engine.make_step_fn(cfg)
+
+    @jax.jit
+    def step_fn(state):
+        acts = state.agents.action.at[:, 0].set(0)
+        return _step_fn(state.replace(
+            agents=state.agents.replace(action=acts)))
+
     state = step_fn(state)
     fetch(state.agents.obs[:1])
     reps = max(1, n_steps // 4)
@@ -86,32 +96,49 @@ def main(num_worlds: int = 8192, n_steps: int = 1000):
 
     # --- fused single-kernel engine (Pallas on TPU, XLA rows on CPU),
     # host-dispatch loop ---
+    import functools
+
+    from madrona_basketball_tpu.ops import layout
     eng = FusedEngine(cfg, num_worlds, seed=0,
                       backend="pallas" if on_tpu else "xla")
-    eng.step()
-    fetch(eng.sf)
+    noise_fn = make_noise_fn(cfg)
+    kern = make_fused_step(cfg, num_worlds) if on_tpu else \
+        functools.partial(fused_step_xla, cfg)
+    _blank_rows = [layout.I_IDX[f"a0.{n}"] for n in
+                   ("a_move", "a_angle", "a_rotate", "a_grab", "a_pass",
+                    "a_shoot")]
+
+    def _blank(si):
+        for r in _blank_rows:
+            si = si.at[r].set(jnp.zeros((num_worlds,), jnp.int32))
+        return si
+
+    @jax.jit
+    def fused_blank_step(keys, sf, si):
+        keys, noise = noise_fn(keys)
+        sf, si, obs = kern(sf, _blank(si), noise)
+        return keys, sf, si
+
+    dk, dsf, dsi = fused_blank_step(eng.keys, eng.sf, eng.si)
+    fetch(dsf)
 
     def run_fused():
+        nonlocal dk, dsf, dsi
         t0 = time.perf_counter()
         for _ in range(reps):
-            eng.step()
-        fetch(eng.sf)
+            dk, dsf, dsi = fused_blank_step(dk, dsf, dsi)
+        fetch(dsf)
         return time.perf_counter() - t0
 
     fused_fps = reps * num_worlds / _best_of(3, run_fused)
 
     # --- fused kernel inside lax.scan: the rollout shape ---
-    import functools
-    noise_fn = make_noise_fn(cfg)
-    kern = make_fused_step(cfg, num_worlds) if on_tpu else \
-        functools.partial(fused_step_xla, cfg)
-
     @jax.jit
     def scan_steps(keys, sf, si):
         def body(carry, _):
             keys, sf, si = carry
             keys, noise = noise_fn(keys)
-            sf, si, obs = kern(sf, si, noise)
+            sf, si, obs = kern(sf, _blank(si), noise)
             return (keys, sf, si), ()
         return jax.lax.scan(body, (keys, sf, si), None, length=500)[0]
 

@@ -64,7 +64,7 @@ def main():
     def rollout(seed, sf, si, obs, agent):
         return rk(seed, sf, si, obs, *FR.pack_policy(agent))
 
-    seed = jnp.zeros((1,), jnp.int32)
+    seed = jnp.zeros((1, 2), jnp.int32)
     sf, si, obs, traj = jax.jit(rollout)(seed, ts.sf, ts.si, ts.obs,
                                          ts.agent)
     t_roll = bench(rollout, (seed, sf, si, obs, ts.agent), fetch)

@@ -141,6 +141,51 @@ class EpisodeRecorder:
         self.steps = []
 
 
+def _spawn_viewer(log_folder: str):
+    """Launch the live-log watcher viewer as a subprocess
+    (scripts/ppo.py:261-276).  Skipped on headless hosts (no display and
+    no SDL video driver override) — the recorder still drops npz logs a
+    later `python -m madrona_basketball_tpu.viewer` can replay."""
+    import subprocess
+    import sys as _sys
+    if not (os.environ.get("DISPLAY") or os.environ.get("SDL_VIDEODRIVER")):
+        print("Headless host (no DISPLAY): not spawning the live viewer; "
+              f"npz drops still land in {log_folder}")
+        return None
+    os.makedirs(log_folder, exist_ok=True)
+    print("Setting up viewer process...")
+    command = [_sys.executable, "-m", "madrona_basketball_tpu.viewer",
+               "--live-log-folder", log_folder]
+    try:
+        proc = subprocess.Popen(command)
+        print(f"Viewer process started with PID: {proc.pid}")
+        print(f"Viewer is now watching: {log_folder}")
+        return proc
+    except Exception as e:
+        print(f"Failed to start viewer process: {e}")
+        return None
+
+
+def _teardown_viewer(proc) -> None:
+    """Terminate the spawned viewer on trainer exit
+    (scripts/ppo.py:352-368)."""
+    import subprocess
+    if proc is None:
+        return
+    print(f"Terminating viewer process (PID: {proc.pid})...")
+    if proc.poll() is None:
+        proc.terminate()
+        try:
+            proc.wait(timeout=5)
+            print("Viewer process terminated successfully")
+        except subprocess.TimeoutExpired:
+            proc.kill()
+            proc.wait()
+            print("Viewer process killed")
+    else:
+        print(f"Viewer process already exited with code: {proc.returncode}")
+
+
 def _run_interactive(args, cfg, hp, net, agent, frozen, model_name, key):
     """Interactive training session: embedded live viewer + human override
     (scripts/ppo.py:257-276 wiring; ppo/train_interactive.py loop)."""
@@ -148,13 +193,13 @@ def _run_interactive(args, cfg, hp, net, agent, frozen, model_name, key):
     from .viewer.app import ViewerClass
 
     viewer = ViewerClass(training_mode=True)
+    timer = PPOTimer()
     trainer = InteractiveTrainer(cfg, hp, net, key, agent=agent,
                                  frozen=frozen, viewer=viewer,
-                                 seed=args.seed)
+                                 seed=args.seed, timer=timer)
     viewer.env = trainer.env
     print("Interactive training: H = human control of selected agent "
           "(click to select), Ctrl+P = pause, 1-0 = world switch")
-    timer = PPOTimer()
     for iteration in range(1, args.num_iterations + 1):
         timer.start("iter")
         timer.add_steps(hp.num_envs * hp.num_rollout_steps)
@@ -275,12 +320,16 @@ def main(argv=None):
         writer = SummaryWriter(f"runs/{model_name}")
 
     recorder = None
+    viewer_process = None
     if args.viewer and is_main:
         from .ops.fused_step import _hoop_geometry
         (h0x, h0y), (h1x, h1y) = _hoop_geometry(cfg)
         hoop_pos = np.array([[[h0x, h0y, 0.0], [h1x, h1y, 0.0]]], np.float32)
         recorder = EpisodeRecorder(f"logs/{model_name}", hoop_pos,
                                    every_n=args.log_every_n_iterations)
+        # scripts/ppo.py:261-276: --viewer also SPAWNS the watcher viewer
+        # so one command gives the train-and-watch loop.
+        viewer_process = _spawn_viewer(f"logs/{model_name}")
 
     from .ppo.train import auto_chunk
     chunk_n = args.iters_per_dispatch or auto_chunk(
@@ -353,6 +402,7 @@ def main(argv=None):
                 print(f"Model {model_name} saved at iteration {iteration}")
         timer.end("iter")
 
+    _teardown_viewer(viewer_process)
     if writer is not None:
         writer.close()
     return ts

@@ -47,19 +47,28 @@ def make_policy_fn(net, ap: AgentParams, key: jax.Array,
 
 
 def _make_eval_chunk(cfg: SimConfig, net, trainee_idx: int,
-                     stochastic: bool, use_frozen: bool, K: int):
-    """K policy+sim steps per device dispatch for the eval loop, with
-    the per-step npz log tensors collected on device and fetched once
-    per chunk — removes the per-step host round-trip of the naive loop
-    (2-30 ms each through a remote-TPU tunnel)."""
+                     stochastic: bool, use_frozen: bool, K: int,
+                     num_episodes: int):
+    """Up to K policy+sim steps per device dispatch for the eval loop,
+    with the per-step npz log tensors collected on device and fetched
+    once per chunk — removes the per-step host round-trip of the naive
+    loop (2-30 ms each through a remote-TPU tunnel).
+
+    Episode completion is checked ON DEVICE every step (lax.while_loop
+    with the per-world episode counts in carry), so the dispatch stops
+    at exactly the tick the reference's per-step loop would
+    (scripts/infer.py:85-113): no post-completion steps ever reach the
+    sim state or the trajectory log.  Returns (state, key, counts,
+    steps_run, logs) where logs rows >= steps_run are zero padding the
+    caller trims."""
     ti = trainee_idx
     fi = 1 - trainee_idx
     vstep = jax.vmap(lambda w: engine.step(cfg, w))
+    import jax.numpy as jnp
 
     @jax.jit
-    def chunk(state, ap, fp, key):
-        def body(carry, _):
-            state, key = carry
+    def chunk(state, ap, fp, key, counts):
+        def one_step(state, key):
             key, k1, k2 = jax.random.split(key, 3)
             actions, _, _ = agent_lib.forward(
                 net, ap, state.agents.obs[:, ti], k1,
@@ -82,10 +91,33 @@ def _make_eval_chunk(cfg: SimConfig, net, trainee_idx: int,
                    "rewards": t["reward"],
                    "actions": t["action"],
                    "done": state.agents.done[:, ti]}
-            return (state, key), log
-        (state, key), logs = jax.lax.scan(body, (state, key), None,
-                                          length=K)
-        return state, key, logs
+            return state, key, log
+
+        # shape/dtype template for the preallocated log buffers
+        log_shapes = jax.eval_shape(lambda s, k: one_step(s, k)[2],
+                                    state, key)
+        logs0 = jax.tree_util.tree_map(
+            lambda sd: jnp.zeros((K,) + sd.shape, sd.dtype), log_shapes)
+
+        def cond(c):
+            _state, _key, counts, t, _logs = c
+            go = t < K
+            if num_episodes > 0:
+                go = go & jnp.any(counts < num_episodes)
+            return go
+
+        def body(c):
+            state, key, counts, t, logs = c
+            state, key, log = one_step(state, key)
+            logs = jax.tree_util.tree_map(
+                lambda buf, v: buf.at[t].set(v), logs, log)
+            counts = counts + log["done"].astype(jnp.int32)
+            return state, key, counts, t + 1, logs
+
+        state, key, counts, t, logs = jax.lax.while_loop(
+            cond, body, (state, key, counts, jnp.zeros((), jnp.int32),
+                         logs0))
+        return state, key, counts, t, logs
 
     return chunk
 
@@ -182,35 +214,39 @@ def _infer_chunked(env, net, policy_params, frozen_params, log_path,
                          "callable; pass chunk_size=1 to keep the "
                          "per-step path")
     chunk_fn = _make_eval_chunk(env.cfg, net, trainee_idx, stochastic,
-                                use_frozen, chunk_size)
+                                use_frozen, chunk_size, num_episodes)
     # Exact tail: a shorter chunk for the final max_steps % K steps, so
-    # the sim state never advances past max_steps.  (The
-    # episode-completion early-exit still checks at chunk granularity —
-    # the state may run up to K-1 steps past the stop; documented in
-    # PARITY.md.)
+    # the sim state never advances past max_steps.  Episode completion
+    # stops the on-device while_loop at the exact tick, so chunked ==
+    # per-step everywhere.
     tail = max_steps % chunk_size
     tail_fn = _make_eval_chunk(env.cfg, net, trainee_idx, stochastic,
-                               use_frozen, tail) if tail else None
+                               use_frozen, tail, num_episodes) \
+        if tail else None
     fp = frozen_params if use_frozen else policy_params  # unused filler
     key = jax.random.PRNGKey(seed)
     state = env.state
+    counts_dev = jax.numpy.zeros((env.num_worlds,), jax.numpy.int32)
     step = 0
     while step < max_steps:
         K = chunk_size if max_steps - step >= chunk_size else tail
         fn = chunk_fn if K == chunk_size else tail_fn
-        state, key, logs = fn(state, policy_params, fp, key)
-        logs_np = jax.device_get(logs)  # ONE fetch per K steps
-        for t in range(K):
+        state, key, counts_dev, t_used, logs = fn(
+            state, policy_params, fp, key, counts_dev)
+        t_used = int(t_used)
+        logs_np = jax.device_get(logs)  # ONE fetch per chunk
+        for t in range(t_used):
             if log_path:
                 trajectory_log.append(
                     {k: np.asarray(v[t]) for k, v in logs_np.items()})
-            if num_episodes > 0:
-                episode_counts += logs_np["done"][t].astype(np.int64)
-        step += K
-        if num_episodes > 0 and np.all(episode_counts >= num_episodes):
-            print(f"All environments have completed "
-                  f"{num_episodes} episodes.")
-            break
+        step += t_used
+        if num_episodes > 0:
+            episode_counts[:] = np.asarray(jax.device_get(counts_dev),
+                                           np.int64)
+            if np.all(episode_counts >= num_episodes):
+                print(f"All environments have completed "
+                      f"{num_episodes} episodes.")
+                break
     env.state = state
 
     if log_path and trajectory_log:

@@ -50,6 +50,29 @@ def rms_unnormalize(st: RMSState, x: jax.Array,
     return st.mean + jnp.sqrt(st.var + EPS) * x
 
 
+def _rms_merge(st: RMSState, mean, var, count) -> RMSState:
+    """Chan parallel merge of batch (mean, var, count) into the running
+    stats (scripts/agent.py:40-50)."""
+    count_ = count + st.count
+    delta = mean - st.mean
+    m = (st.var * st.count + var * count +
+         delta ** 2 * st.count * count / count_)
+    return RMSState(mean=st.mean + delta * count / count_,
+                    var=m / count_,
+                    count=count_)
+
+
+def _pad_tail(st: RMSState, used: int, n):
+    """Closed-form Chan merge for features that are implicitly ALL ZERO
+    in the batch (delta = -mean, batch var = 0)."""
+    count_ = st.count + n
+    pad_mean = st.mean[used:]
+    pad_var = st.var[used:]
+    new_pad_mean = pad_mean * (st.count / count_)
+    m = pad_var * st.count + pad_mean ** 2 * st.count * n / count_
+    return new_pad_mean, m / count_
+
+
 def rms_update_padded(st: RMSState, x: jax.Array) -> RMSState:
     """rms_update where the batch's features >= x.shape[-1] are
     implicitly ALL ZERO and not materialized (the obs tail padding,
@@ -60,13 +83,26 @@ def rms_update_padded(st: RMSState, x: jax.Array) -> RMSState:
     sub = rms_update(RMSState(mean=st.mean[:used], var=st.var[:used],
                               count=st.count), x)
     n = jnp.asarray(x.reshape(-1, used).shape[0], F32)
-    count_ = st.count + n
-    pad_mean = st.mean[used:]
-    pad_var = st.var[used:]
-    # delta = 0 - pad_mean; batch var = 0
-    new_pad_mean = pad_mean * (st.count / count_)
-    m = pad_var * st.count + pad_mean ** 2 * st.count * n / count_
-    new_pad_var = m / count_
+    new_pad_mean, new_pad_var = _pad_tail(st, used, n)
+    return RMSState(
+        mean=jnp.concatenate([sub.mean, new_pad_mean]),
+        var=jnp.concatenate([sub.var, new_pad_var]),
+        count=sub.count)
+
+
+def rms_update_padded_tdw(st: RMSState, x: jax.Array) -> RMSState:
+    """rms_update_padded where the batch rides FEATURE-MAJOR as
+    (T, used, W) — the rollout kernel's trajectory layout — so the
+    stats reduce over (T, W) directly without materializing the
+    (T*W, used) relayout."""
+    used = x.shape[1]
+    n = jnp.asarray(x.shape[0] * x.shape[2], F32)
+    mean = jnp.mean(x, axis=(0, 2))
+    var = jnp.sum((x - mean[None, :, None]) ** 2,
+                  axis=(0, 2)) / jnp.maximum(n - 1.0, 1.0)
+    sub = _rms_merge(RMSState(mean=st.mean[:used], var=st.var[:used],
+                              count=st.count), mean, var, n)
+    new_pad_mean, new_pad_var = _pad_tail(st, used, n)
     return RMSState(
         mean=jnp.concatenate([sub.mean, new_pad_mean]),
         var=jnp.concatenate([sub.var, new_pad_var]),
@@ -82,11 +118,4 @@ def rms_update(st: RMSState, x: jax.Array) -> RMSState:
     count = jnp.asarray(x.shape[0], F32)
     mean = jnp.mean(x, axis=0)
     var = jnp.sum((x - mean) ** 2, axis=0) / jnp.maximum(count - 1.0, 1.0)
-
-    count_ = count + st.count
-    delta = mean - st.mean
-    m = (st.var * st.count + var * count +
-         delta ** 2 * st.count * count / count_)
-    return RMSState(mean=st.mean + delta * count / count_,
-                    var=m / count_,
-                    count=count_)
+    return _rms_merge(st, mean, var, count)

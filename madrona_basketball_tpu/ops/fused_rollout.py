@@ -84,6 +84,13 @@ _ACTION_NAMES = ("a_move", "a_angle", "a_rotate", "a_grab", "a_pass",
 RMS_EPS = 1e-5  # models/normalize.py EPS
 LN_EPS = 1e-6   # flax nn.LayerNorm default
 
+# On-chip PRNG stream id: stream = block * TICK_STRIDE + tick_base + t.
+# The stride (not n_steps) decouples the stream from the launch length,
+# so a T-step launch and T single-step launches with tick_base = t draw
+# IDENTICAL noise — the composition property the on-TPU equivalence pin
+# exploits (scripts/bench-level check, BENCHMARKS.md).
+TICK_STRIDE = 1 << 20
+
 
 def pack_policy(ap) -> tuple:
     """AgentParams -> (nrm, w1t, w2t, wht, bias) VMEM-friendly matrices.
@@ -190,12 +197,15 @@ def make_fused_rollout(cfg: SimConfig, num_worlds: int, n_steps: int,
     AFTER the tick — the per-step tuple ppo/train_fused.py's scan body
     emits, feature-major.
 
-    `rng` is a (1,) int32 seed; each (block, tick) grid step reseeds the
-    on-chip PRNG with (seed, block, tick) so draws are independent and
-    launch-deterministic.  With external_noise=True, `rng` is instead a
-    (n_steps * EXT_NOISE_CHUNK, W) matrix of per-tick sim noise + policy
-    uniforms (see pack_rollout_noise) — the test path proving kernel ==
-    XLA rollout on identical draws.
+    `rng` is a (1, 2) int32 [seed, tick_base]; each (block, tick) grid
+    step reseeds the on-chip PRNG with (seed, block * TICK_STRIDE +
+    tick_base + t) so draws are independent, launch-deterministic, and
+    COMPOSABLE: a T-step launch equals T single-step launches run with
+    tick_base = 0..T-1 (production passes tick_base = 0).  With
+    external_noise=True, `rng` is instead a (n_steps * EXT_NOISE_CHUNK, W)
+    matrix of per-tick sim noise + policy uniforms (see
+    pack_rollout_noise) — the test path proving kernel == XLA rollout on
+    identical draws.
 
     The initial obs0 must be the observation produced by the step before
     the rollout starts (the reset pulse), matching scripts/ppo.py:64-67.
@@ -234,8 +244,11 @@ def make_fused_rollout(cfg: SimConfig, num_worlds: int, n_steps: int,
             u_f = chunk[EXT_FROZEN_U:EXT_FROZEN_U + N_LOGITS]
         else:
             # prng_seed accepts at most 2 operands; fold (block, tick)
-            # into one distinct value per grid step.
-            pltpu.prng_seed(rng_ref[0], b * n_steps + t)
+            # into one distinct stream value per grid step (TICK_STRIDE
+            # keeps streams independent of the launch length so T-step
+            # and 1-step launches compose).
+            pltpu.prng_seed(rng_ref[0, 0],
+                            b * TICK_STRIDE + rng_ref[0, 1] + t)
             n_draw = N_NOISE_ROWS + 2 * N_LOGITS
             u = _bits_to_unit(pltpu.bitcast(
                 pltpu.prng_random_bits((n_draw, blk)), jnp.uint32))

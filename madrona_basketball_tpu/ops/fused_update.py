@@ -148,6 +148,102 @@ def _mm_rc(a, b):
                                preferred_element_type=F32)
 
 
+def _block_grads(hp, D, inv_mb, obs, act, lp_old, v_old, adv, ret,
+                 nrm, w1t, w2t, wht, bias, seg, segT, base_col,
+                 dw1_o, dw2_o, dwh_o, dbias_o):
+    """Forward + manual backward for ONE feature-major block; accumulates
+    parameter gradients into the (VMEM-resident, revisited) output refs.
+    Shared by the contiguous-feat kernel and the scalar-prefetch kernel.
+
+    obs (D, R), act (NB, R) as f32 indices, lp_old/v_old/adv/ret (R,)."""
+    R = obs.shape[1]
+    clip = hp.clip_coef
+    vf_coef = hp.vf_coef
+    ent_coef = hp.ent_coef
+
+    def col(v):                           # (H,) -> (H, 1) broadcast
+        return v[:, None]
+
+    # ---------------- forward (feature-major) ----------------
+    xn = jnp.clip((obs - col(nrm[0])) * col(nrm[1]), -5.0, 5.0)
+    z1 = _mm(w1t, xn) + col(bias[:, 0])
+    h1, rstd1, y1 = _ln_fwd(z1, col(bias[:, 1]), col(bias[:, 2]))
+    a1 = jnp.maximum(y1, 0.0)
+    z2 = _mm(w2t, a1) + col(bias[:, 3])
+    h2, rstd2, y2 = _ln_fwd(z2, col(bias[:, 4]), col(bias[:, 5]))
+    a2 = jnp.maximum(y2, 0.0)
+    out = _mm(wht, a2) + bias[0:N_OUT, 6][:, None]   # (N_OUT, R)
+    lg = out[0:N_LOGITS]                  # (19, R)
+    value = out[N_LOGITS]                 # (R,)
+
+    # global-max-shifted per-bucket softmax via segment matmuls
+    M = jnp.max(lg, axis=0, keepdims=True)            # (1, R)
+    E = jnp.exp(lg - M)                               # (19, R)
+    S = _mm(seg, E)                                   # (NB, R)
+    denom = _mm(segT, S)                              # (19, R)
+    p = E / denom
+    logz_b = jnp.log(S) + M                           # (NB, R)
+    LZ = _mm(segT, logz_b)                            # (19, R)
+    lognorm = lg - LZ                                 # log p
+    # selected one-hot from action indices: row j in bucket b is
+    # selected iff j == base_b + act_b
+    target = _mm(segT, base_col + act)                # (19, R)
+    # Mosaic iota must be integer-typed; cast for the float compare
+    rows_idx = jax.lax.broadcasted_iota(
+        I32, (N_LOGITS, R), 0).astype(F32)
+    oh = (rows_idx == target).astype(F32)
+    logp_new = jnp.sum(oh * lognorm, axis=0)          # (R,)
+    ent_rows = p * lognorm                            # (19, R)
+    H_b = -_mm(seg, ent_rows)                         # (NB, R)
+    HB = _mm(segT, H_b)                               # (19, R)
+
+    # ---------------- loss cotangents ----------------
+    ratio = jnp.exp(logp_new - lp_old)
+    surr1 = -adv * ratio
+    rclip = jnp.clip(ratio, 1.0 - clip, 1.0 + clip)
+    surr2 = -adv * rclip
+    take1 = surr1 >= surr2
+    inb = (ratio >= 1.0 - clip) & (ratio <= 1.0 + clip)
+    dratio = jnp.where(take1, -adv, jnp.where(inb, -adv, 0.0))
+    dlogp = dratio * ratio * inv_mb                   # (R,)
+
+    if hp.clip_vloss:
+        vf = (value - ret) ** 2
+        dv_in = (value - v_old >= -clip) & (value - v_old <= clip)
+        vclip = v_old + jnp.clip(value - v_old, -clip, clip)
+        vfc = (vclip - ret) ** 2
+        takev = vf >= vfc
+        dvalue = jnp.where(
+            takev, value - ret,
+            jnp.where(dv_in, vclip - ret, 0.0)) * (vf_coef * inv_mb)
+    else:
+        dvalue = (value - ret) * (vf_coef * inv_mb)
+
+    dlg = dlogp[None, :] * (oh - p) + \
+        (ent_coef * inv_mb) * p * (lognorm + HB)
+    dout = jnp.concatenate([dlg, dvalue[None, :]], axis=0)
+
+    # ---------------- backward ----------------
+    da2 = _mm(wht.T, dout)                            # (H, R)
+    dwh_o[...] += _mm_rc(dout, a2)                    # (N_OUT, H)
+    dbh = jnp.sum(dout, axis=1)                       # (N_OUT,)
+
+    dy2 = da2 * (y2 > 0.0)
+    dz2, dg2, dbe2 = _ln_bwd(dy2, h2, rstd2, col(bias[:, 4]))
+    dw2_o[...] += _mm_rc(dz2, a1)                     # (H, H)
+    db2 = jnp.sum(dz2, axis=1)
+    da1 = _mm(w2t.T, dz2)
+
+    dy1 = da1 * (y1 > 0.0)
+    dz1, dg1, dbe1 = _ln_bwd(dy1, h1, rstd1, col(bias[:, 1]))
+    dw1_o[...] += _mm_rc(dz1, xn)                     # (H, D)
+    db1 = jnp.sum(dz1, axis=1)
+
+    dbias_o[...] += jnp.stack([
+        db1, dg1, dbe1, db2, dg2, dbe2,
+        jnp.pad(dbh, (0, H - N_OUT)), jnp.zeros((H,), F32)], axis=1)
+
+
 def make_fused_minibatch_grad(hp, D: int, mb_size: int,
                               block_rows: int = 2048,
                               interpret: bool = False):
@@ -159,10 +255,6 @@ def make_fused_minibatch_grad(hp, D: int, mb_size: int,
     grid = (mb_size // block_rows,)
     K = NB
     inv_mb = 1.0 / mb_size
-    clip = hp.clip_coef
-    vf_coef = hp.vf_coef
-    ent_coef = hp.ent_coef
-    clip_vloss = hp.clip_vloss
 
     def kernel(feat, nrm_r, w1t_r, w2t_r, wht_r, bias_r, seg_r, segT_r,
                base_r, dw1_o, dw2_o, dwh_o, dbias_o):
@@ -175,105 +267,13 @@ def make_fused_minibatch_grad(hp, D: int, mb_size: int,
             dwh_o[...] = jnp.zeros_like(dwh_o)
             dbias_o[...] = jnp.zeros_like(dbias_o)
 
-        nrm = nrm_r[...]
-        w1t = w1t_r[...]
-        w2t = w2t_r[...]
-        wht = wht_r[...]
-        bias = bias_r[...]
         ft = feat[...].T                      # (F, R) feature-major
-        R = ft.shape[1]
-        obs = ft[0:D]                         # (D, R)
-        act = ft[D:D + K]                     # (K, R)
-        lp_old = ft[D + K]
-        v_old = ft[D + K + 1]
-        adv = ft[D + K + 2]
-        ret = ft[D + K + 3]
-
-        seg = seg_r[...]                      # (NB, 19)
-        segT = segT_r[...]                    # (19, NB)
-        base_col = base_r[...]                # (NB, 1)
-
-        def col(v):                           # (H,) -> (H, 1) broadcast
-            return v[:, None]
-
-        # ---------------- forward (feature-major) ----------------
-        xn = jnp.clip((obs - col(nrm[0])) * col(nrm[1]), -5.0, 5.0)
-        z1 = _mm(w1t, xn) + col(bias[:, 0])
-        h1, rstd1, y1 = _ln_fwd(z1, col(bias[:, 1]), col(bias[:, 2]))
-        a1 = jnp.maximum(y1, 0.0)
-        z2 = _mm(w2t, a1) + col(bias[:, 3])
-        h2, rstd2, y2 = _ln_fwd(z2, col(bias[:, 4]), col(bias[:, 5]))
-        a2 = jnp.maximum(y2, 0.0)
-        out = _mm(wht, a2) + bias[0:N_OUT, 6][:, None]   # (N_OUT, R)
-        lg = out[0:N_LOGITS]                  # (19, R)
-        value = out[N_LOGITS]                 # (R,)
-
-        # global-max-shifted per-bucket softmax via segment matmuls
-        M = jnp.max(lg, axis=0, keepdims=True)            # (1, R)
-        E = jnp.exp(lg - M)                               # (19, R)
-        S = _mm(seg, E)                                   # (NB, R)
-        denom = _mm(segT, S)                              # (19, R)
-        p = E / denom
-        logz_b = jnp.log(S) + M                           # (NB, R)
-        LZ = _mm(segT, logz_b)                            # (19, R)
-        lognorm = lg - LZ                                 # log p
-        # selected one-hot from action indices: row j in bucket b is
-        # selected iff j == base_b + act_b
-        target = _mm(segT, base_col + act)                # (19, R)
-        # Mosaic iota must be integer-typed; cast for the float compare
-        rows_idx = jax.lax.broadcasted_iota(
-            I32, (N_LOGITS, R), 0).astype(F32)
-        oh = (rows_idx == target).astype(F32)
-        logp_new = jnp.sum(oh * lognorm, axis=0)          # (R,)
-        ent_rows = p * lognorm                            # (19, R)
-        H_b = -_mm(seg, ent_rows)                         # (NB, R)
-        HB = _mm(segT, H_b)                               # (19, R)
-
-        # ---------------- loss cotangents ----------------
-        ratio = jnp.exp(logp_new - lp_old)
-        surr1 = -adv * ratio
-        rclip = jnp.clip(ratio, 1.0 - clip, 1.0 + clip)
-        surr2 = -adv * rclip
-        take1 = surr1 >= surr2
-        inb = (ratio >= 1.0 - clip) & (ratio <= 1.0 + clip)
-        dratio = jnp.where(take1, -adv, jnp.where(inb, -adv, 0.0))
-        dlogp = dratio * ratio * inv_mb                   # (R,)
-
-        if clip_vloss:
-            vf = (value - ret) ** 2
-            dv_in = (value - v_old >= -clip) & (value - v_old <= clip)
-            vclip = v_old + jnp.clip(value - v_old, -clip, clip)
-            vfc = (vclip - ret) ** 2
-            takev = vf >= vfc
-            dvalue = jnp.where(
-                takev, value - ret,
-                jnp.where(dv_in, vclip - ret, 0.0)) * (vf_coef * inv_mb)
-        else:
-            dvalue = (value - ret) * (vf_coef * inv_mb)
-
-        dlg = dlogp[None, :] * (oh - p) + \
-            (ent_coef * inv_mb) * p * (lognorm + HB)
-        dout = jnp.concatenate([dlg, dvalue[None, :]], axis=0)
-
-        # ---------------- backward ----------------
-        da2 = _mm(wht.T, dout)                            # (H, R)
-        dwh_o[...] += _mm_rc(dout, a2)                    # (N_OUT, H)
-        dbh = jnp.sum(dout, axis=1)                       # (N_OUT,)
-
-        dy2 = da2 * (y2 > 0.0)
-        dz2, dg2, dbe2 = _ln_bwd(dy2, h2, rstd2, col(bias[:, 4]))
-        dw2_o[...] += _mm_rc(dz2, a1)                     # (H, H)
-        db2 = jnp.sum(dz2, axis=1)
-        da1 = _mm(w2t.T, dz2)
-
-        dy1 = da1 * (y1 > 0.0)
-        dz1, dg1, dbe1 = _ln_bwd(dy1, h1, rstd1, col(bias[:, 1]))
-        dw1_o[...] += _mm_rc(dz1, xn)                     # (H, D)
-        db1 = jnp.sum(dz1, axis=1)
-
-        dbias_o[...] += jnp.stack([
-            db1, dg1, dbe1, db2, dg2, dbe2,
-            jnp.pad(dbh, (0, H - N_OUT)), jnp.zeros((H,), F32)], axis=1)
+        _block_grads(hp, D, inv_mb,
+                     ft[0:D], ft[D:D + K], ft[D + K], ft[D + K + 1],
+                     ft[D + K + 2], ft[D + K + 3],
+                     nrm_r[...], w1t_r[...], w2t_r[...], wht_r[...],
+                     bias_r[...], seg_r[...], segT_r[...], base_r[...],
+                     dw1_o, dw2_o, dwh_o, dbias_o)
 
     def grad_fn(feat_mb, nrm, w1t, w2t, wht, bias):
         F = feat_mb.shape[-1]
@@ -309,3 +309,123 @@ def make_fused_minibatch_grad(hp, D: int, mb_size: int,
                     jnp.asarray(_BASE[:, None]))
 
     return grad_fn
+
+
+# Side-channel row layout for the scalar-prefetch kernel: the GAE/update
+# quantities that the reference recipe writes back into the rollout buffer
+# (scripts/ppo.py:170-177) ride as a separate (T, SIDE_ROWS, W) array so
+# the trajectory buffer itself is never copied or re-laid-out.
+SIDE_VALUE = 0   # value, re-normalized with the post-GAE value_rms
+SIDE_ADV = 1     # normalized advantage
+SIDE_RET = 2     # normalized return
+SIDE_ROWS = 8    # padded to a full f32 sublane tile
+
+
+def make_fused_minibatch_grad_prefetch(hp, D: int, T: int, W: int,
+                                       wb: int, interpret: bool = False):
+    """Scalar-prefetch minibatch gradient: the epoch shuffle costs ZERO
+    data movement.
+
+    Instead of materializing a permuted copy of the (T*W, F) feat matrix
+    every epoch (a pure-bandwidth gather that measured ~0.6 ms/epoch at
+    8192x32, see BENCHMARKS.md), the block permutation rides as a
+    scalar-prefetch operand and drives the input BlockSpec index maps:
+    each grid step DMAs its (ROLL_ROWS, wb) block straight out of the
+    rollout kernel's trajectory buffer — which is ALREADY feature-major
+    (ops/fused_rollout.py traj is (T, ROLL_ROWS, W)), so the in-kernel
+    block transpose disappears too.
+
+    Shuffle granularity: one block = `wb` consecutive worlds at one tick
+    (blocks are the units the epoch permutation deals to minibatches; the
+    gradient is a mean over the minibatch, so ordering WITHIN a minibatch
+    is irrelevant — only the block->minibatch partition matters).  The
+    reference shuffles single samples (scripts/ppo.py:188); this is the
+    shuffle_block deviation of PARITY.md at coarser grain, validated by
+    the same learning-curve-overlay method.
+
+    Returns grad_fn(idx (mb_blocks,) i32 block ids, traj (T, ROWS, W),
+    side (T, SIDE_ROWS, W), nrm, w1t, w2t, wht, bias) -> (dw1t, dw2t,
+    dwht, dbias).  Block id b maps to tick b // (W//wb), world-block
+    b % (W//wb)."""
+    assert W % wb == 0
+    wblk = W // wb
+    mb_size = hp.minibatch_size
+    assert mb_size % wb == 0
+    grid = (mb_size // wb,)
+    K = NB
+    inv_mb = 1.0 / mb_size
+
+    def kernel(idx_ref, traj_blk, side_blk, nrm_r, w1t_r, w2t_r, wht_r,
+               bias_r, seg_r, segT_r, base_r,
+               dw1_o, dw2_o, dwh_o, dbias_o):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            dw1_o[...] = jnp.zeros_like(dw1_o)
+            dw2_o[...] = jnp.zeros_like(dw2_o)
+            dwh_o[...] = jnp.zeros_like(dwh_o)
+            dbias_o[...] = jnp.zeros_like(dbias_o)
+
+        blk = traj_blk[0]                     # (ROWS, wb) feature-major
+        sd = side_blk[0]                      # (SIDE_ROWS, wb)
+        _block_grads(hp, D, inv_mb,
+                     blk[0:D], blk[D:D + K], blk[D + K],
+                     sd[SIDE_VALUE], sd[SIDE_ADV], sd[SIDE_RET],
+                     nrm_r[...], w1t_r[...], w2t_r[...], wht_r[...],
+                     bias_r[...], seg_r[...], segT_r[...], base_r[...],
+                     dw1_o, dw2_o, dwh_o, dbias_o)
+
+    def perm_map(i, idx):
+        return (idx[i] // wblk, 0, idx[i] % wblk)
+
+    def const_spec(shape):
+        return pl.BlockSpec(shape, lambda i, idx: (0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def grad_fn(idx, traj, side, nrm, w1t, w2t, wht, bias):
+        rows = traj.shape[1]
+        gs = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, rows, wb), perm_map,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, SIDE_ROWS, wb), perm_map,
+                             memory_space=pltpu.VMEM),
+                const_spec((2, D)), const_spec((H, D)),
+                const_spec((H, H)), const_spec((N_OUT, H)),
+                const_spec((H, N_BCOL)),
+                const_spec((NB, N_LOGITS)), const_spec((N_LOGITS, NB)),
+                const_spec((NB, 1)),
+            ],
+            out_specs=[const_spec((H, D)), const_spec((H, H)),
+                       const_spec((N_OUT, H)), const_spec((H, N_BCOL))],
+        )
+        call = pl.pallas_call(
+            kernel,
+            grid_spec=gs,
+            out_shape=[
+                jax.ShapeDtypeStruct((H, D), F32),
+                jax.ShapeDtypeStruct((H, H), F32),
+                jax.ShapeDtypeStruct((N_OUT, H), F32),
+                jax.ShapeDtypeStruct((H, N_BCOL), F32),
+            ],
+            interpret=interpret,
+        )
+        return call(idx.astype(I32), traj, side, nrm, w1t, w2t, wht, bias,
+                    jnp.asarray(_SEG), jnp.asarray(_SEG.T),
+                    jnp.asarray(_BASE[:, None]))
+
+    return grad_fn
+
+
+def pick_update_block(W: int, mb_size: int, cap: int = 2048) -> int:
+    """Largest block width <= cap dividing both the world count and the
+    minibatch size (powers of two preferred; falls back to the gcd)."""
+    import math
+    g = math.gcd(W, mb_size)
+    for cand in (2048, 1024, 512, 256, 128, 64, 32, 16, 8, 4, 2, 1):
+        if cand <= cap and g % cand == 0:
+            return cand
+    return g

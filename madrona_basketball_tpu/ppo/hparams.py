@@ -31,6 +31,16 @@ class PPOParams:
     # timestep of adjacent envs (buffer layout (T, N)) — near-i.i.d., so
     # minibatch decorrelation is preserved; set 1 for the reference's
     # exact sample-granularity shuffle (scripts/ppo.py:188).
+    # Applies to the materialized-gather update paths (scan trainer,
+    # rollout-kernel trainer with fused_grads=False).
+    update_block: int = 0
+    # ^ shuffle granularity of the FUSED-GRADIENT update path (the
+    # scalar-prefetch kernel, ops/fused_update.py): the epoch
+    # permutation deals blocks of `update_block` consecutive worlds at
+    # one tick straight from the trajectory buffer — zero shuffle data
+    # movement.  0 = auto (largest divisor of the world count and the
+    # minibatch size <= 1024, ops/fused_update.pick_update_block).
+    # Convergence at the default is pinned in BENCHMARKS.md round 3.
 
     @property
     def rollout_batch_size(self) -> int:

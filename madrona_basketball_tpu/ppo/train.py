@@ -182,12 +182,16 @@ def make_minibatch_update(hp: PPOParams):
             return carry, None
 
         # All epochs' permutations in ONE batched argsort (argsort of iid
-        # uniforms per row == an independent uniform permutation per row,
+        # draws per row == an independent uniform permutation per row,
         # the same construction jax.random.permutation uses internally) —
         # a device sort costs ~0.4-1.7 ms, so batching the E sorts into
-        # one saves most of that cost E-1 times over.
+        # one saves most of that cost E-1 times over.  Sorting uint32
+        # bits instead of f32 uniforms: f32 keys take only 2^24 values,
+        # so at production row counts ties (always broken in ascending
+        # index order) would add a small systematic non-uniformity.
         perms = jnp.argsort(
-            jax.random.uniform(key, (hp.update_epochs, rows)), axis=1)
+            jax.random.bits(key, (hp.update_epochs, rows), jnp.uint32),
+            axis=1)
         (params, opt_state), _ = jax.lax.scan(
             epoch_body, (params, opt_state), perms)
         return params, opt_state

@@ -215,7 +215,7 @@ def make_train_iteration_fused(cfg: SimConfig, hp: PPOParams,
             from jax import shard_map
             rs = P(None, "data")
             n_p = 5 * (2 if hp.use_frozen else 1)
-            rng_spec = rs if rollout_interpret else P("data")
+            rng_spec = rs if rollout_interpret else P("data", None)
             rk = shard_map(
                 rk, mesh=mesh,
                 in_specs=(rng_spec, rs, rs, rs) + (P(),) * n_p,
@@ -226,9 +226,13 @@ def make_train_iteration_fused(cfg: SimConfig, hp: PPOParams,
             if not rollout_interpret:
                 # Per-shard independent seeds: the kernel folds only its
                 # local block index into the PRNG, so identical seeds
-                # across shards would replay identical noise.
-                return jax.lax.bitcast_convert_type(
+                # across shards would replay identical noise.  Column 1
+                # is the tick_base (0 in production — see
+                # fused_rollout.TICK_STRIDE).
+                seeds = jax.lax.bitcast_convert_type(
                     jax.random.bits(ks, (n_shards,), jnp.uint32), I32)
+                return jnp.stack(
+                    [seeds, jnp.zeros((n_shards,), I32)], axis=1)
             import numpy as _np
             u = jax.random.uniform(
                 ks, (T * FR.EXT_NOISE_CHUNK, hp.num_envs))
@@ -239,7 +243,8 @@ def make_train_iteration_fused(cfg: SimConfig, hp: PPOParams,
             return jnp.where(signed, 2.0 * u - 1.0, u)
 
         from ..models.normalize import (rms_normalize, rms_update,
-                                        rms_update_padded)
+                                        rms_update_padded,
+                                        rms_update_padded_tdw)
         from ..ops.gae import compute_gae
         OBS = C.OBS_SIZE
         _, _update_policy = make_update_fns(hp, net)
@@ -248,39 +253,59 @@ def make_train_iteration_fused(cfg: SimConfig, hp: PPOParams,
         if fused_grads:
             # Hand-derived forward+backward Pallas kernel per minibatch
             # (ops/fused_update.py): feature-major on-chip, activations
-            # never leave VMEM, the minibatch feat rows stream from HBM
-            # exactly once.  Gradient-exact vs autodiff
+            # never leave VMEM, and the epoch shuffle is FREE — the block
+            # permutation rides as a scalar-prefetch operand driving the
+            # kernel's input index maps, so permuted blocks stream
+            # straight out of the trajectory buffer (no materialized
+            # epoch gather, no relayout).  Gradient-exact vs autodiff
             # (tests/test_fused_update.py).
             import optax
 
             from ..ops import fused_update as FU
-            from .train import make_minibatch_update
-            _mbu = make_minibatch_update(hp)
-            br = next(b for b in (2048, 1024, 512, 256, 128, 64, 32,
-                                  hp.minibatch_size)
-                      if hp.minibatch_size % b == 0)
-            mbg = FU.make_fused_minibatch_grad(
-                hp, FR.ROLL_OBS, hp.minibatch_size, block_rows=br,
+            wb = hp.update_block or \
+                FU.pick_update_block(hp.num_envs, hp.minibatch_size)
+            if hp.num_envs % wb or hp.minibatch_size % wb:
+                raise ValueError(
+                    f"update_block={wb} must divide both num_envs="
+                    f"{hp.num_envs} and minibatch_size="
+                    f"{hp.minibatch_size}")
+            n_blocks = T * (hp.num_envs // wb)
+            blocks_per_mb = hp.minibatch_size // wb
+            mbg = FU.make_fused_minibatch_grad_prefetch(
+                hp, FR.ROLL_OBS, T, hp.num_envs, wb,
                 interpret=rollout_interpret)
 
-            def update_policy_feat(agent, opt_state, feat, D, K, key):  # noqa: F811
+            def update_policy_traj(agent, opt_state, traj, side, key):
                 nrm = FU.pack_norm(agent.obs_rms, FR.ROLL_OBS)
 
-                def raw_grad_step(carry, fe):
+                def grad_step(carry, idx):
                     params, opt_state_ = carry
                     w1, w2, wh, bias = FU.pack_weights(params,
                                                        FR.ROLL_OBS)
-                    dw1, dw2, dwh, dbias = mbg(fe, nrm, w1, w2, wh, bias)
+                    dw1, dw2, dwh, dbias = mbg(idx, traj, side, nrm,
+                                               w1, w2, wh, bias)
                     grads = FU.grads_to_tree(params, dw1, dw2, dwh,
                                              dbias, FR.ROLL_OBS)
                     updates, opt_state_ = tx.update(grads, opt_state_,
                                                     params)
                     return (optax.apply_updates(params, updates),
-                            opt_state_)
+                            opt_state_), None
 
-                params, opt_state = _mbu.run_epochs(
-                    raw_grad_step, agent.params, opt_state, feat, D, K,
-                    key, raw_feat=True)
+                # One batched sort yields every epoch's block permutation
+                # (argsort of iid draws == uniform permutation); uint32
+                # bits avoid the f32-uniform key-collision bias.
+                perms = jnp.argsort(
+                    jax.random.bits(key, (hp.update_epochs, n_blocks),
+                                    jnp.uint32), axis=1).astype(I32)
+
+                def epoch_body(carry, perm):
+                    carry, _ = jax.lax.scan(
+                        grad_step, carry,
+                        perm.reshape(hp.num_minibatches, blocks_per_mb))
+                    return carry, None
+
+                (params, opt_state), _ = jax.lax.scan(
+                    epoch_body, (agent.params, opt_state), perms)
                 return agent.replace(params=params), opt_state
 
         @jax.jit
@@ -326,27 +351,41 @@ def make_train_iteration_fused(cfg: SimConfig, hp: PPOParams,
             returns_n = rms_normalize(value_rms, returns.reshape(-1, 1),
                                       clamp=5.0).reshape(returns.shape)
 
-            # feat columns line up with run_epochs' contract: packed obs
-            # 0:ROLL_OBS, actions next (R_ACT), then logp, value_n (over
-            # R_VALUE), advantage (over R_REW), return_n (over R_DONE);
-            # trailing rows are padding.  The .at[].set row writes cost
-            # ~0.8 ms of whole-trajectory copies in the device trace,
-            # but building feat by concatenation instead measured WORSE
-            # (12.7 vs 8.7 ms/iter — the transpose stops fusing), so the
-            # simple form stays.  The obs-rms update covers the
-            # structural-zero tail analytically (rms_update_padded).
-            traj = traj.at[:, FR.R_VALUE, :].set(values_n)
-            traj = traj.at[:, FR.R_REW, :].set(adv_n)
-            traj = traj.at[:, FR.R_DONE, :].set(returns_n)
-            feat = jnp.swapaxes(traj, 1, 2).reshape(
-                T * hp.num_envs, FR.ROLL_ROWS)
-            obs_rms = rms_update_padded(agent.obs_rms,
-                                        feat[:, :FR.ROLL_OBS])
-            agent = agent.replace(obs_rms=obs_rms, value_rms=value_rms)
-
-            agent, opt_state = update_policy_feat(agent, ts.opt_state,
-                                                  feat, FR.ROLL_OBS, 6,
-                                                  k_upd)
+            if fused_grads:
+                # The trajectory buffer is consumed IN PLACE by the
+                # scalar-prefetch gradient kernel: no row write-backs, no
+                # (T, rows, W) -> (T*W, rows) relayout, no epoch gathers.
+                # The GAE/update quantities ride in a small side array
+                # with the same (T, rows, W) block geometry, and the
+                # obs-rms update reduces the feature-major obs rows
+                # directly (rms_update_padded_tdw covers the
+                # structural-zero tail analytically).
+                side = jnp.concatenate([
+                    jnp.stack([values_n, adv_n, returns_n], axis=1),
+                    jnp.zeros((T, FU.SIDE_ROWS - 3, hp.num_envs), F32)],
+                    axis=1)
+                obs_rms = rms_update_padded_tdw(
+                    agent.obs_rms, traj[:, :FR.ROLL_OBS, :])
+                agent = agent.replace(obs_rms=obs_rms,
+                                      value_rms=value_rms)
+                agent, opt_state = update_policy_traj(
+                    agent, ts.opt_state, traj, side, k_upd)
+            else:
+                # feat columns line up with run_epochs' contract: packed
+                # obs 0:ROLL_OBS, actions next (R_ACT), then logp,
+                # value_n (over R_VALUE), advantage (over R_REW),
+                # return_n (over R_DONE); trailing rows are padding.
+                traj = traj.at[:, FR.R_VALUE, :].set(values_n)
+                traj = traj.at[:, FR.R_REW, :].set(adv_n)
+                traj = traj.at[:, FR.R_DONE, :].set(returns_n)
+                feat = jnp.swapaxes(traj, 1, 2).reshape(
+                    T * hp.num_envs, FR.ROLL_ROWS)
+                obs_rms = rms_update_padded(agent.obs_rms,
+                                            feat[:, :FR.ROLL_OBS])
+                agent = agent.replace(obs_rms=obs_rms,
+                                      value_rms=value_rms)
+                agent, opt_state = update_policy_feat(
+                    agent, ts.opt_state, feat, FR.ROLL_OBS, 6, k_upd)
             metrics = {
                 "mean_reward": stats.mean_reward,
                 "mean_episode_length": stats.mean_length,

@@ -43,9 +43,14 @@ class InteractiveTrainer:
     def __init__(self, cfg: SimConfig, hp: PPOParams, net: ActorCritic,
                  key: jax.Array, agent: Optional[AgentParams] = None,
                  frozen: Optional[AgentParams] = None, viewer=None,
-                 seed: int = 0):
+                 seed: int = 0, timer=None):
+        from ..utils.timers import PPOTimer
         self.hp = hp
         self.net = net
+        # Host-loop trainer = host-visible phase boundaries: fence and
+        # time rollout/sim/inference/update exactly like the reference
+        # (scripts/ppo.py:303-327, scripts/ppo_stats.py:53-150).
+        self.timer = timer if timer is not None else PPOTimer()
         k_agent, k_frozen, self.key = jax.random.split(key, 3)
         self.agent = agent if agent is not None else \
             agent_lib.init_agent(k_agent)[1]
@@ -100,14 +105,19 @@ class InteractiveTrainer:
         """One T-step rollout with per-step human-override consultation
         (scripts/ppo.py:60-141 minus the npz recording, which cli.py's
         EpisodeRecorder handles from the returned buffer)."""
-        hp, env = self.hp, self.env
+        hp, env, tm = self.hp, self.env, self.timer
+        tm.start("rollout")
         obs, _, _ = env.reset()
         rows = {k: [] for k in ("obs", "actions", "values", "log_probs",
                                 "not_dones", "rewards")}
         mgr = self.controller_manager
         for _ in range(hp.num_rollout_steps):
             self.key, k1 = jax.random.split(self.key)
+            tm.start("inference")
             actions, logp, value = self._fwd(self.agent, obs, k1)
+            jax.block_until_ready(value)
+            tm.end("inference")
+            tm.start("sim")
             if env.viewer is not None and mgr.is_human_control_active():
                 selected = env.viewer.get_selected_agent_index()
                 human_action = mgr.get_action(np.asarray(obs[0]),
@@ -116,6 +126,8 @@ class InteractiveTrainer:
                     actions, human_action, selected)
             else:
                 obs_, rews, dones = env.step_with_world_actions(actions)
+            jax.block_until_ready(obs_)
+            tm.end("sim")
             self.stats = self._stats_step(self.stats, rews, dones)
             rows["obs"].append(obs)
             rows["actions"].append(actions)
@@ -126,6 +138,7 @@ class InteractiveTrainer:
             obs = obs_
         buf = {k: jnp.stack(v) for k, v in rows.items()}
         buf["next_value"] = self._evaluate(self.agent, obs)
+        tm.end("rollout")
         return buf
 
     def train_iteration(self):
@@ -134,8 +147,12 @@ class InteractiveTrainer:
         self.key, k_upd = jax.random.split(self.key)
         agent, adv, values_n, returns_n = self._compute_advantages(
             self.agent, buf)
+        self.timer.start("update")
         self.agent, self.opt_state = self._update_policy(
             agent, self.opt_state, buf, adv, values_n, returns_n, k_upd)
+        jax.block_until_ready(
+            jax.tree_util.tree_leaves(self.agent.params)[0])
+        self.timer.end("update")
         # keep the manager's RL controller on the latest weights
         self.controller_manager.rl_controller.agent_params = self.agent
         return {

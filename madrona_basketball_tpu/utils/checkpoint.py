@@ -29,6 +29,33 @@ def save_agent(agent: AgentParams, path: str) -> str:
     return path
 
 
+def _check_obs_tail(ap: AgentParams, path: str) -> AgentParams:
+    """The packed-feat update (constants.OBS_USED) is bit-identical to
+    the full-width forward ONLY when the obs normalizer's tail mean is
+    exactly zero — guaranteed for anything trained here (the tail obs
+    slots are structural zeros, src/game.cpp:1456-1460), but a
+    hand-edited or foreign checkpoint could violate it silently.  Zero
+    the tail and warn rather than diverge without notice."""
+    import numpy as np
+
+    from .. import constants as C
+    tail = np.asarray(jax.device_get(ap.obs_rms.mean[C.OBS_USED:]))
+    if tail.size and np.any(tail != 0.0):
+        import warnings
+        warnings.warn(
+            f"{path}: obs_rms.mean[{C.OBS_USED}:] is nonzero "
+            f"(max |x| = {np.max(np.abs(tail))}) — these observation "
+            "slots are structurally zero in this environment, so the "
+            "stats cannot come from training on it.  Zeroing the tail "
+            "mean so the packed-obs update path stays exact.",
+            stacklevel=3)
+        import jax.numpy as jnp
+        mean = ap.obs_rms.mean.at[C.OBS_USED:].set(
+            jnp.zeros_like(ap.obs_rms.mean[C.OBS_USED:]))
+        ap = ap.replace(obs_rms=ap.obs_rms.replace(mean=mean))
+    return ap
+
+
 def load_agent(path: str, template: Optional[AgentParams] = None
                ) -> AgentParams:
     if template is None:
@@ -44,9 +71,10 @@ def load_agent(path: str, template: Optional[AgentParams] = None
                 f"{path}: imported architecture does not match this "
                 f"framework's ActorCritic — imported {got}, expected "
                 f"{want}")
-        return ap
+        return _check_obs_tail(ap, path)
     with open(path, "rb") as f:
-        return serialization.from_bytes(template, f.read())
+        return _check_obs_tail(
+            serialization.from_bytes(template, f.read()), path)
 
 
 def checkpoint_path(model_name: str, iteration: int,

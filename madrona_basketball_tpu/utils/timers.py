@@ -45,8 +45,15 @@ class PPOTimer:
         print(f"Took {self.t['iter']:.2f} seconds. "
               f"FPS: {self.fps('iter')}. Global {self.global_step:_}")
         if self.t["rollout"] or self.t["update"]:
-            print(f"Rollout: {self.t['rollout']:.2f}s, "
+            # scripts/ppo_stats.py:144-150 second line, plus the per-
+            # phase FPS the getters expose (scripts/ppo_stats.py:124-139)
+            print(f"Sim only: {self.t['sim']:.2f}s, "
+                  f"Inference: {self.t['inference']:.2f}s, "
                   f"Update: {self.t['update']:.2f}s")
+            print(f"Phase FPS: rollout {self.fps('rollout')}, "
+                  f"sim {self.fps('sim')}, "
+                  f"inference {self.fps('inference')}, "
+                  f"update {self.fps('update')}")
         else:
             # Fused path: rollout+GAE+update compile into ONE device
             # program, so there are no host-visible sub-phase boundaries

@@ -318,9 +318,14 @@ class ViewerClass:
 
     # ---------------- trajectory playback ----------------
     @staticmethod
-    def load_and_parse_log(path: str):
+    def load_and_parse_log(path: str, track_event: str = "all"):
         """Load an npz trajectory; segment into episodes on done flags and
-        extract event markers (scripts/viewer.py:1028-1082 equivalent)."""
+        extract event markers (scripts/viewer.py:1028-1082 equivalent).
+
+        track_event: a single EVENT_DEFINITIONS key ("shoot" / "pass" /
+        "grab") parses only that event, matching the reference's
+        --track-event filter (scripts/viewer.py:1060); "all" (default)
+        parses every event type, "none" parses none."""
         raw = dict(np.load(path, allow_pickle=True))
         T = raw["done"].shape[0]
         episodes, start = [], 0
@@ -331,10 +336,16 @@ class ViewerClass:
         if start < T:
             episodes.append((start, T))
 
+        if track_event == "all":
+            defs = V.EVENT_DEFINITIONS
+        elif track_event in V.EVENT_DEFINITIONS:
+            defs = {track_event: V.EVENT_DEFINITIONS[track_event]}
+        else:
+            defs = {}
         events = []
         num_agents = raw["agent_pos"].shape[2]
         for t in range(T):
-            for name, spec in V.EVENT_DEFINITIONS.items():
+            for name, spec in defs.items():
                 for agent in range(num_agents):
                     try:
                         pressed = int(
@@ -355,16 +366,19 @@ class ViewerClass:
                         continue
         return raw, episodes, events
 
-    def run_trajectory_playback(self, paths, loop: bool = True):
+    def run_trajectory_playback(self, paths, loop: bool = True,
+                                track_event: str = "all"):
         if isinstance(paths, str):
             paths = [paths]
         pg = self.pg
         file_idx, episode_idx, frame, paused, trails_on = 0, 0, 0, False, True
         fading_on = True  # F toggles; scripts/viewer.py:962,1388-1390
-        raw, episodes, events = self.load_and_parse_log(paths[file_idx])
 
         def load(fi):
-            return self.load_and_parse_log(paths[fi])
+            return self.load_and_parse_log(paths[fi],
+                                           track_event=track_event)
+
+        raw, episodes, events = load(file_idx)
 
         running = True
         while running:
@@ -453,7 +467,8 @@ class ViewerClass:
             self.clock.tick(V.FPS)
 
     # ---------------- live training watch ----------------
-    def watch_training(self, folder: str, poll_seconds: float = 2.0):
+    def watch_training(self, folder: str, poll_seconds: float = 2.0,
+                       track_event: str = "all"):
         """Poll `folder` for new npz drops and play each once
         (scripts/viewer.py:1475-1510 equivalent)."""
         seen = set()
@@ -470,7 +485,8 @@ class ViewerClass:
                 seen.add(new[0])
                 print(f"Playing {path}")
                 try:
-                    self.run_trajectory_playback(path, loop=False)
+                    self.run_trajectory_playback(path, loop=False,
+                                                 track_event=track_event)
                 except SystemExit:
                     return
             else:

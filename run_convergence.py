@@ -1,0 +1,70 @@
+"""Convergence run of the flagship trainer (rollout kernel +
+scalar-prefetch fused gradients) — the learning-curve evidence for the
+round-3 update-block shuffle granularity and the composable PRNG stream
+(BENCHMARKS.md).  Chunks 100 iterations per dispatch to amortize tunnel
+latency.
+
+Usage: python run_convergence.py [envs] [iters] [seed] [update_block]
+           [--no-fused-grads]
+
+--no-fused-grads switches the update to the materialized-gather path
+(run_epochs, shuffle_block=8 super-rows) — the round-2 recipe — for
+A/B-ing the shuffle-granularity deviation with everything else equal.
+"""
+
+import sys
+import time
+
+import jax
+import numpy as np
+
+
+def main():
+    from madrona_basketball_tpu.utils.profiling import enable_compile_cache
+    enable_compile_cache()
+    from madrona_basketball_tpu.config import SimConfig
+    from madrona_basketball_tpu.models.agent import init_agent
+    from madrona_basketball_tpu.ppo.hparams import PPOParams
+    from madrona_basketball_tpu.ppo.train import make_train_chunk
+    from madrona_basketball_tpu.ppo.train_fused import (
+        init_fused_train_state, make_train_iteration_fused)
+
+    fused_grads = "--no-fused-grads" not in sys.argv
+    argv = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sys.argv = [sys.argv[0]] + argv
+    W = int(sys.argv[1]) if len(sys.argv) > 1 else 8192
+    iters = int(sys.argv[2]) if len(sys.argv) > 2 else 1500
+    seed = int(sys.argv[3]) if len(sys.argv) > 3 else 1
+    ub = int(sys.argv[4]) if len(sys.argv) > 4 else 0
+
+    cfg = SimConfig()
+    hp = PPOParams(num_envs=W, use_frozen=True, update_block=ub)
+    net, _ = init_agent(jax.random.PRNGKey(0))
+    ts = init_fused_train_state(cfg, hp, net, jax.random.PRNGKey(seed))
+    ti = make_train_iteration_fused(cfg, hp, net, backend="pallas",
+                                    rollout_kernel=True,
+                                    fused_grads=fused_grads)
+    CH = 100
+    chunk = make_train_chunk(ti, CH)
+    t0 = time.perf_counter()
+    done = 0
+    while done < iters:
+        ts, stacked = chunk(ts)
+        done += CH
+        r = float(np.asarray(jax.device_get(
+            stacked["mean_reward"][-1])))
+        ln = float(np.asarray(jax.device_get(
+            stacked["mean_episode_length"][-1])))
+        print(f"[conv seed={seed} ub={ub or 'auto' if fused_grads else 'OFF'}] iter {done}: "
+              f"reward {r:.1f} len {ln:.1f} "
+              f"({time.perf_counter() - t0:.0f}s)", flush=True)
+    leaves = jax.tree.leaves(ts.agent.params)
+    finite = all(np.isfinite(np.asarray(jax.device_get(x))).all()
+                 for x in leaves)
+    fps = done * W * hp.num_rollout_steps / (time.perf_counter() - t0)
+    print(f"[conv seed={seed}] finished {done} iters, params finite: "
+          f"{finite}, sustained {fps / 1e6:.1f}M steps/s incl. compile")
+
+
+if __name__ == "__main__":
+    main()

@@ -7,7 +7,12 @@ parallel.distributed.init_distributed (the exact code path the CLI's
 fused train iterations with worlds sharded across both processes, and
 process 0 dumps the resulting (replicated) agent parameters.
 
-Usage: mp_worker.py <coordinator_port> <process_id> <out.npz>
+Usage: mp_worker.py <coordinator_port> <process_id> <out.npz> [mode]
+
+mode: "xla" (default) runs the scan-rollout trainer; "rollout_kernel"
+runs the FLAGSHIP policy-in-the-loop rollout-kernel + fused-gradient
+trainer (interpret mode — Mosaic has no CPU lowering) so the production
+training path is validated across real process boundaries too.
 """
 
 import os
@@ -32,6 +37,7 @@ import numpy as np  # noqa: E402
 
 def main():
     port, pid, out_path = sys.argv[1], int(sys.argv[2]), sys.argv[3]
+    mode = sys.argv[4] if len(sys.argv) > 4 else "xla"
 
     from madrona_basketball_tpu.parallel.distributed import init_distributed
     n_devices = init_distributed(
@@ -59,8 +65,11 @@ def main():
     mesh = make_mesh()  # spans BOTH processes
     assert mesh.size == 8
     ts = shard_fused_train_state(ts, mesh)
+    kernel_mode = mode == "rollout_kernel"
     it = TF.make_train_iteration_fused(cfg, hp, net, backend="xla",
-                                       mesh=mesh)
+                                       mesh=mesh,
+                                       rollout_kernel=kernel_mode,
+                                       rollout_interpret=kernel_mode)
     # Compile LOCALLY first, then rendezvous with a generous timeout
     # before the first execution: the Gloo collective setup allows only
     # ~30 s between the first and last process reaching it, which a

@@ -137,3 +137,34 @@ def test_bitcast_compat_export():
     # int32 1 reinterpreted as float32 = 1.4e-45 (the reference quirk,
     # SURVEY §2.4): liveBall slot must be denormal-tiny, not 1.0.
     assert 0 < gs[0, 1] < 1e-40
+
+
+def test_chunked_eval_matches_per_step(tmp_path):
+    """Chunked eval (on-device while_loop, one dispatch per chunk) ==
+    the per-step reference loop EXACTLY: same npz rows, same episode
+    counts, same final sim state — including the early exit at the
+    precise tick every env completes its episodes (round-3 fix; the
+    round-2 version could overshoot by up to K-1 steps)."""
+    from madrona_basketball_tpu.infer import infer
+    from madrona_basketball_tpu.models.agent import init_agent
+
+    cfg = SimConfig(time_per_period=1.0)  # fast episode turnover
+    net, ap = init_agent(jax.random.PRNGKey(2))
+
+    def run(chunk_size):
+        env = BasketballEnv(3, cfg, seed=4)
+        path = str(tmp_path / f"traj_k{chunk_size}.npz")
+        counts = infer(env, net, ap, log_path=path, num_episodes=1,
+                       max_steps=500, stochastic=False, seed=0,
+                       trainee_idx=1, chunk_size=chunk_size)
+        return np.array(counts), dict(np.load(path)), env.state
+
+    c1, log1, st1 = run(1)    # per-step reference path
+    c8, log8, st8 = run(8)    # chunked path (uneven completion tick)
+    np.testing.assert_array_equal(c1, c8)
+    assert set(log1) == set(log8)
+    for k in log1:
+        np.testing.assert_array_equal(log1[k], log8[k], err_msg=k)
+    for a, b in zip(jax.tree_util.tree_leaves(st1),
+                    jax.tree_util.tree_leaves(st8)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

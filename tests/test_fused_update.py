@@ -126,3 +126,141 @@ def test_fused_update_trains_like_xla():
                     jax.tree_util.tree_leaves(params)):
         np.testing.assert_allclose(np.asarray(g), np.asarray(r),
                                    atol=1e-5)
+
+
+# ---- scalar-prefetch kernel: permuted blocks stream straight from the
+# trajectory buffer (no materialized epoch gather) ----
+
+from madrona_basketball_tpu.ops import fused_rollout as FR  # noqa: E402
+from madrona_basketball_tpu.ops import fused_update as FU  # noqa: E402
+
+
+def _make_traj_side(rng, T, W):
+    """Random trajectory + side arrays in the rollout kernel's layout."""
+    buckets = list(C.ACTION_BUCKETS)
+    traj = rng.normal(scale=3.0,
+                      size=(T, FR.ROLL_ROWS, W)).astype(np.float32)
+    for j, n in enumerate(buckets):
+        traj[:, FR.R_ACT + j, :] = rng.randint(
+            0, n, (T, W)).astype(np.float32)
+    traj[:, FR.R_LOGP, :] = rng.normal(
+        scale=0.3, size=(T, W)).astype(np.float32)
+    side = rng.normal(size=(T, FU.SIDE_ROWS, W)).astype(np.float32)
+    return jnp.asarray(traj), jnp.asarray(side)
+
+
+def _gather_blocks(traj, side, idx, wb, wblk):
+    """Reference assembly of a minibatch from block ids (row-major)."""
+    tj, sd = np.asarray(traj), np.asarray(side)
+    cols_t = [tj[b // wblk, :, (b % wblk) * wb:(b % wblk + 1) * wb]
+              for b in np.asarray(idx)]
+    cols_s = [sd[b // wblk, :, (b % wblk) * wb:(b % wblk + 1) * wb]
+              for b in np.asarray(idx)]
+    blk = np.concatenate(cols_t, axis=1)     # (ROWS, mb)
+    s = np.concatenate(cols_s, axis=1)       # (SIDE_ROWS, mb)
+    return (jnp.asarray(blk[:D].T), jnp.asarray(blk[D:D + 6].T, np.int32),
+            jnp.asarray(blk[FR.R_LOGP]), jnp.asarray(s[FU.SIDE_VALUE]),
+            jnp.asarray(s[FU.SIDE_ADV]), jnp.asarray(s[FU.SIDE_RET]))
+
+
+def test_prefetch_grad_matches_autodiff():
+    """grad(prefetch kernel over permuted blocks) == jax.grad of the loss
+    on the explicitly gathered minibatch."""
+    hp = PPOParams(num_envs=16, num_rollout_steps=4, num_minibatches=2,
+                   update_epochs=1)
+    T, W, wb = 4, 16, 4
+    wblk = W // wb
+    bpm = hp.minibatch_size // wb
+    net, ap = init_agent(jax.random.PRNGKey(7))
+    rng = np.random.RandomState(7)
+    ap = ap.replace(obs_rms=rms_update(
+        ap.obs_rms,
+        jnp.asarray(rng.normal(1.0, 2.0, (256, C.OBS_SIZE)), F32)))
+    traj, side = _make_traj_side(rng, T, W)
+    idx = jnp.asarray(rng.permutation(T * wblk)[:bpm], jnp.int32)
+
+    o, a, lp, v, adv, ret = _gather_blocks(traj, side, idx, wb, wblk)
+    _, update_policy = make_update_fns(hp, net)
+    ref, _aux = jax.grad(update_policy.loss_fn, has_aux=True)(
+        ap.params, ap, o, a, lp, v, adv, ret)
+
+    grad_fn = FU.make_fused_minibatch_grad_prefetch(hp, D, T, W, wb,
+                                                    interpret=True)
+    nrm = pack_norm(ap.obs_rms, D)
+    w1, w2, wh, bias = pack_weights(ap.params, D)
+    dw1, dw2, dwh, dbias = grad_fn(idx, traj, side, nrm, w1, w2, wh, bias)
+    got = grads_to_tree(ap.params, dw1, dw2, dwh, dbias, D)
+
+    ref_leaves, ref_def = jax.tree_util.tree_flatten(ref)
+    got_leaves, got_def = jax.tree_util.tree_flatten(got)
+    assert ref_def == got_def
+    for i, (r, g) in enumerate(zip(ref_leaves, got_leaves)):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   atol=2e-6, err_msg=f"grad leaf {i}")
+
+
+def test_prefetch_update_matches_autodiff_loop():
+    """Full epochs x minibatches through the scalar-prefetch kernel ==
+    an explicit gather + autodiff loop over the SAME block permutations
+    (the equivalence the trainer's update_policy_traj relies on)."""
+    import optax
+
+    from madrona_basketball_tpu.ppo.train import make_optimizer
+
+    hp = PPOParams(num_envs=16, num_rollout_steps=8, num_minibatches=2,
+                   update_epochs=2)
+    T, W, wb = 8, 16, 4
+    wblk = W // wb
+    n_blocks = T * wblk
+    bpm = hp.minibatch_size // wb
+    net, ap = init_agent(jax.random.PRNGKey(9))
+    rng = np.random.RandomState(9)
+    ap = ap.replace(obs_rms=rms_update(
+        ap.obs_rms,
+        jnp.asarray(rng.normal(0.5, 1.5, (128, C.OBS_SIZE)), F32)))
+    traj, side = _make_traj_side(rng, T, W)
+    tx = make_optimizer(hp)
+    key = jax.random.PRNGKey(17)
+    perms = jnp.argsort(
+        jax.random.bits(key, (hp.update_epochs, n_blocks), jnp.uint32),
+        axis=1).astype(jnp.int32)
+
+    # ---- prefetch-kernel path ----
+    mbg = FU.make_fused_minibatch_grad_prefetch(hp, D, T, W, wb,
+                                                interpret=True)
+    nrm = pack_norm(ap.obs_rms, D)
+    params_k, opt_k = ap.params, tx.init(ap.params)
+    for e in range(hp.update_epochs):
+        for m in range(hp.num_minibatches):
+            idx = perms[e, m * bpm:(m + 1) * bpm]
+            w1, w2, wh, bias = pack_weights(params_k, D)
+            dw1, dw2, dwh, dbias = mbg(idx, traj, side, nrm, w1, w2, wh,
+                                       bias)
+            grads = grads_to_tree(params_k, dw1, dw2, dwh, dbias, D)
+            updates, opt_k = tx.update(grads, opt_k, params_k)
+            params_k = optax.apply_updates(params_k, updates)
+
+    # ---- explicit gather + autodiff over the same permutations ----
+    _, update_policy = make_update_fns(hp, net)
+    grad_fn = jax.grad(update_policy.loss_fn, has_aux=True)
+    params_r, opt_r = ap.params, tx.init(ap.params)
+    for e in range(hp.update_epochs):
+        for m in range(hp.num_minibatches):
+            idx = perms[e, m * bpm:(m + 1) * bpm]
+            o, a, lp, v, adv, ret = _gather_blocks(traj, side, idx, wb,
+                                                   wblk)
+            grads, _ = grad_fn(params_r, ap, o, a, lp, v, adv, ret)
+            updates, opt_r = tx.update(grads, opt_r, params_r)
+            params_r = optax.apply_updates(params_r, updates)
+
+    for r, g in zip(jax.tree_util.tree_leaves(params_r),
+                    jax.tree_util.tree_leaves(params_k)):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   atol=1e-5)
+
+
+def test_pick_update_block():
+    assert FU.pick_update_block(8192, 65536) == 2048
+    assert FU.pick_update_block(512, 4096) == 512
+    assert FU.pick_update_block(16, 32) == 16
+    assert FU.pick_update_block(24, 96) == 8

@@ -31,14 +31,14 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_distributed_train_matches_single(tmp_path):
+def _run_two_process(tmp_path, mode: str):
     port = _free_port()
     out = tmp_path / "mp_params.npz"
     worker = os.path.join(os.path.dirname(__file__), "mp_worker.py")
     env = {k: v for k, v in os.environ.items()
            if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
     procs = [subprocess.Popen(
-        [sys.executable, worker, str(port), str(pid), str(out)],
+        [sys.executable, worker, str(port), str(pid), str(out), mode],
         cwd="/root/repo", env=env,
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
         for pid in range(2)]
@@ -70,8 +70,11 @@ def test_two_process_distributed_train_matches_single(tmp_path):
     ts = TF.init_fused_train_state(cfg, hp, net, jax.random.PRNGKey(3))
     mesh = make_mesh()
     ts = shard_fused_train_state(ts, mesh)
+    kernel_mode = mode == "rollout_kernel"
     it = TF.make_train_iteration_fused(cfg, hp, net, backend="xla",
-                                       mesh=mesh)
+                                       mesh=mesh,
+                                       rollout_kernel=kernel_mode,
+                                       rollout_interpret=kernel_mode)
     ts, _ = it(ts)
     ts, m = it(ts)
 
@@ -83,3 +86,14 @@ def test_two_process_distributed_train_matches_single(tmp_path):
                                    err_msg=f"param leaf {i} diverged")
     np.testing.assert_allclose(float(got["adv_abs_mean"]),
                                float(m["adv_abs_mean"]), atol=1e-4)
+
+
+def test_two_process_distributed_train_matches_single(tmp_path):
+    _run_two_process(tmp_path, "xla")
+
+
+def test_two_process_rollout_kernel_matches_single(tmp_path):
+    """The FLAGSHIP trainer (policy-in-the-loop rollout kernel +
+    scalar-prefetch fused gradients) across real process boundaries:
+    parameters must match the same program run single-process."""
+    _run_two_process(tmp_path, "rollout_kernel")

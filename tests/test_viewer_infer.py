@@ -55,6 +55,72 @@ def test_viewer_parse_and_render(trajectory_npz):
     viewer.pg.display.flip()
 
 
+def test_track_event_filter(trajectory_npz):
+    """--track-event semantics (scripts/viewer.py:1060): a single key
+    parses only that event family; 'none' parses nothing; 'all' is the
+    union of the single-event parses."""
+    from madrona_basketball_tpu.viewer.app import ViewerClass
+
+    _, _, all_events = ViewerClass.load_and_parse_log(trajectory_npz,
+                                                      track_event="all")
+    _, _, none_events = ViewerClass.load_and_parse_log(trajectory_npz,
+                                                       track_event="none")
+    assert none_events == []
+    singles = []
+    for name in ("shoot", "pass", "grab"):
+        _, _, ev = ViewerClass.load_and_parse_log(trajectory_npz,
+                                                  track_event=name)
+        assert all(e["name"] == name for e in ev)
+        singles.extend(ev)
+    key = lambda e: (e["step"], e["name"], e["agent"])  # noqa: E731
+    assert sorted(map(key, singles)) == sorted(map(key, all_events))
+
+
+def test_mgi_playlist_sorting(tmp_path):
+    """--watch-model plays logs/mgi/{model}_/ sorted by (gen, iter) with
+    the initial drop first (scripts/viewer.py:1118-1136)."""
+    from madrona_basketball_tpu.viewer.__main__ import mgi_playlist
+
+    d = tmp_path / "Model_"
+    d.mkdir()
+    names = ["Model_gen_2_1000.npz", "Model_gen_0_500.npz",
+             "Model_initial.npz", "Model_gen_0_1000.npz",
+             "Model_gen_10_500.npz"]
+    for n in names:
+        (d / n).write_bytes(b"")
+    (d / "notes.txt").write_bytes(b"")  # non-npz ignored
+    got = [os.path.basename(p)
+           for p in mgi_playlist("Model", root=str(tmp_path))]
+    assert got == ["Model_initial.npz", "Model_gen_0_500.npz",
+                   "Model_gen_0_1000.npz", "Model_gen_2_1000.npz",
+                   "Model_gen_10_500.npz"]
+    assert mgi_playlist("NoSuchModel", root=str(tmp_path)) == []
+
+
+def test_viewer_spawn_teardown(tmp_path):
+    """cli --viewer spawns a watcher-viewer subprocess and tears it down
+    on exit (scripts/ppo.py:261-276, 352-368) — exercised headless via
+    the dummy SDL driver."""
+    from madrona_basketball_tpu.cli import _spawn_viewer, _teardown_viewer
+
+    log_folder = str(tmp_path / "logs")
+    proc = _spawn_viewer(log_folder)
+    assert proc is not None, "dummy SDL driver should allow spawning"
+    try:
+        assert proc.poll() is None  # alive, polling the empty folder
+    finally:
+        _teardown_viewer(proc)
+    assert proc.poll() is not None
+
+
+def test_viewer_spawn_headless_guard(tmp_path, monkeypatch):
+    from madrona_basketball_tpu.cli import _spawn_viewer
+
+    monkeypatch.delenv("DISPLAY", raising=False)
+    monkeypatch.delenv("SDL_VIDEODRIVER", raising=False)
+    assert _spawn_viewer(str(tmp_path / "logs")) is None
+
+
 def test_viewer_embedded_tick():
     from madrona_basketball_tpu.viewer.app import ViewerClass
 
