@@ -420,6 +420,169 @@ def make_fused_minibatch_grad_prefetch(hp, D: int, T: int, W: int,
     return grad_fn
 
 
+def unpack_weights(old_tree, w1t, w2t, wht, bias, D: int):
+    """Inverse of pack_weights: kernel-orientation matrices -> a pytree
+    with the SAME structure as `old_tree` (params / Adam mu / Adam nu).
+    Rows >= D of Dense_0.kernel (the structurally-zero obs tail, which
+    the kernel never touches because their gradients are exactly zero)
+    are carried over from `old_tree` unchanged — exactly what optax
+    would do with zero gradients for params, and zero moments stay
+    zero."""
+    pp = old_tree["params"]
+    new = {
+        "Dense_0": {
+            "kernel": jnp.concatenate(
+                [w1t.T, pp["Dense_0"]["kernel"][D:]], axis=0),
+            "bias": bias[:, 0],
+        },
+        "LayerNorm_0": {"scale": bias[:, 1], "bias": bias[:, 2]},
+        "Dense_1": {"kernel": w2t.T, "bias": bias[:, 3]},
+        "LayerNorm_1": {"scale": bias[:, 4], "bias": bias[:, 5]},
+        "Dense_2": {"kernel": wht.T[:, :N_LOGITS],
+                    "bias": bias[:N_LOGITS, 6]},
+        "Dense_3": {"kernel": wht.T[:, N_LOGITS:],
+                    "bias": bias[N_LOGITS:N_OUT, 6]},
+    }
+    return {"params": new}
+
+
+def make_fused_update_phase(hp, D: int, T: int, W: int, wb: int,
+                            interpret: bool = False):
+    """The ENTIRE PPO update phase — epochs x shuffled minibatches of
+    gradient + global-norm clip + Adam — as ONE Pallas launch.
+
+    The scalar-prefetch gradient kernel removed the epoch-shuffle data
+    movement; what remained was 16 kernel launches interleaved with 16
+    XLA segments of pack_weights / optax chain / tree rebuild.  Here the
+    packed parameters and Adam moments live in VMEM-RESIDENT output
+    blocks for the whole grid (constant index maps -> Mosaic revisits
+    them and flushes once), gradients accumulate in VMEM scratch, and at
+    every minibatch boundary the kernel applies, in place:
+
+        optax.clip_by_global_norm(hp.max_grad_norm)   # exact formula
+        optax.adam(hp.learning_rate, eps=1e-8)        # exact formulas
+
+    (u = where(|g| < c, g, g/|g| * c); mu' = (1-b1) u + b1 mu;
+    nu' = (1-b2) u^2 + b2 nu; p' = p - lr * (mu'/(1-b1^t)) /
+    (sqrt(nu'/(1-b2^t)) + eps) — scripts/ppo.py:214,301 recipe,
+    optax semantics pinned by tests/test_fused_update.py.)
+
+    grid = (E * M * blocks_per_minibatch,): every epoch's block
+    permutation rides in ONE prefetched index vector, so trajectory
+    blocks stream permuted from HBM continuously across minibatch and
+    epoch boundaries with zero host or XLA involvement.
+
+    Returns update_fn(idx (E*NBLK,) i32, count () i32 Adam step count,
+    traj, side, nrm, w1t, w2t, wht, bias, m1..m4, v1..v4) ->
+    (w1t', w2t', wht', bias', m1'..m4', v1'..v4')."""
+    assert W % wb == 0
+    wblk = W // wb
+    mb_size = hp.minibatch_size
+    assert mb_size % wb == 0
+    bpm = mb_size // wb
+    n_mb = hp.update_epochs * hp.num_minibatches
+    grid = (n_mb * bpm,)
+    K = NB
+    inv_mb = 1.0 / mb_size
+    lr = hp.learning_rate
+    max_norm = hp.max_grad_norm
+    B1, B2, EPS_ADAM = 0.9, 0.999, 1e-8
+
+    def kernel(idx_ref, cnt_ref, traj_blk, side_blk, nrm_r,
+               seg_r, segT_r, base_r,
+               w1_in, w2_in, wh_in, b_in,
+               m1_in, m2_in, mh_in, mb_in,
+               v1_in, v2_in, vh_in, vb_in,
+               w1_o, w2_o, wh_o, b_o,
+               m1_o, m2_o, mh_o, mb_o,
+               v1_o, v2_o, vh_o, vb_o,
+               g1_s, g2_s, gh_s, gb_s):
+        i = pl.program_id(0)
+        p_o = (w1_o, w2_o, wh_o, b_o)
+        m_o = (m1_o, m2_o, mh_o, mb_o)
+        v_o = (v1_o, v2_o, vh_o, vb_o)
+        g_s = (g1_s, g2_s, gh_s, gb_s)
+
+        @pl.when(i == 0)
+        def _():
+            for dst, src in zip(p_o + m_o + v_o,
+                                (w1_in, w2_in, wh_in, b_in, m1_in, m2_in,
+                                 mh_in, mb_in, v1_in, v2_in, vh_in,
+                                 vb_in)):
+                dst[...] = src[...]
+            for g in g_s:
+                g[...] = jnp.zeros_like(g)
+
+        blk = traj_blk[0]
+        sd = side_blk[0]
+        _block_grads(hp, D, inv_mb,
+                     blk[0:D], blk[D:D + K], blk[D + K],
+                     sd[SIDE_VALUE], sd[SIDE_ADV], sd[SIDE_RET],
+                     nrm_r[...], w1_o[...], w2_o[...], wh_o[...],
+                     b_o[...], seg_r[...], segT_r[...], base_r[...],
+                     g1_s, g2_s, gh_s, gb_s)
+
+        @pl.when((i + 1) % bpm == 0)
+        def _():
+            # minibatch boundary: clip_by_global_norm + adam, in place
+            gs = [g[...] for g in g_s]
+            gn = jnp.sqrt(sum(jnp.sum(g * g) for g in gs))
+            small = gn < max_norm
+            t_step = (cnt_ref[0] + (i + 1) // bpm).astype(F32)
+            bc1 = 1.0 - jax.lax.pow(jnp.asarray(B1, F32), t_step)
+            bc2 = 1.0 - jax.lax.pow(jnp.asarray(B2, F32), t_step)
+            for p, m, v, g in zip(p_o, m_o, v_o, gs):
+                u = jnp.where(small, g, (g / gn) * max_norm)
+                m_new = (1.0 - B1) * u + B1 * m[...]
+                v_new = (1.0 - B2) * (u * u) + B2 * v[...]
+                m[...] = m_new
+                v[...] = v_new
+                p[...] -= lr * ((m_new / bc1) /
+                                (jnp.sqrt(v_new / bc2) + EPS_ADAM))
+            for g in g_s:
+                g[...] = jnp.zeros_like(g)
+
+    def perm_map(i, idx, cnt):
+        return (idx[i] // wblk, 0, idx[i] % wblk)
+
+    def const_spec(shape):
+        return pl.BlockSpec(shape, lambda i, idx, cnt: (0, 0),
+                            memory_space=pltpu.VMEM)
+
+    SHAPES = ((H, D), (H, H), (N_OUT, H), (H, N_BCOL))
+
+    def update_fn(idx, count, traj, side, nrm, *mats):
+        assert len(mats) == 12
+        rows = traj.shape[1]
+        gs = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, rows, wb), perm_map,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, SIDE_ROWS, wb), perm_map,
+                             memory_space=pltpu.VMEM),
+                const_spec((2, D)),
+                const_spec((NB, N_LOGITS)), const_spec((N_LOGITS, NB)),
+                const_spec((NB, 1)),
+            ] + [const_spec(s) for s in SHAPES * 3],
+            out_specs=[const_spec(s) for s in SHAPES * 3],
+            scratch_shapes=[pltpu.VMEM(s, F32) for s in SHAPES],
+        )
+        call = pl.pallas_call(
+            kernel,
+            grid_spec=gs,
+            out_shape=[jax.ShapeDtypeStruct(s, F32) for s in SHAPES * 3],
+            interpret=interpret,
+        )
+        return call(idx.astype(I32), count.reshape(1).astype(I32),
+                    traj, side, nrm, jnp.asarray(_SEG),
+                    jnp.asarray(_SEG.T), jnp.asarray(_BASE[:, None]),
+                    *mats)
+
+    return update_fn
+
+
 def pick_update_block(W: int, mb_size: int, cap: int = 2048) -> int:
     """Largest block width <= cap dividing both the world count and the
     minibatch size (powers of two preferred; falls back to the gcd)."""

@@ -259,8 +259,6 @@ def make_train_iteration_fused(cfg: SimConfig, hp: PPOParams,
             # straight out of the trajectory buffer (no materialized
             # epoch gather, no relayout).  Gradient-exact vs autodiff
             # (tests/test_fused_update.py).
-            import optax
-
             from ..ops import fused_update as FU
             wb = hp.update_block or \
                 FU.pick_update_block(hp.num_envs, hp.minibatch_size)
@@ -270,43 +268,34 @@ def make_train_iteration_fused(cfg: SimConfig, hp: PPOParams,
                     f"{hp.num_envs} and minibatch_size="
                     f"{hp.minibatch_size}")
             n_blocks = T * (hp.num_envs // wb)
-            blocks_per_mb = hp.minibatch_size // wb
-            mbg = FU.make_fused_minibatch_grad_prefetch(
-                hp, FR.ROLL_OBS, T, hp.num_envs, wb,
-                interpret=rollout_interpret)
+            n_updates = hp.update_epochs * hp.num_minibatches
+            ufp = FU.make_fused_update_phase(hp, FR.ROLL_OBS, T,
+                                             hp.num_envs, wb,
+                                             interpret=rollout_interpret)
 
             def update_policy_traj(agent, opt_state, traj, side, key):
                 nrm = FU.pack_norm(agent.obs_rms, FR.ROLL_OBS)
-
-                def grad_step(carry, idx):
-                    params, opt_state_ = carry
-                    w1, w2, wh, bias = FU.pack_weights(params,
-                                                       FR.ROLL_OBS)
-                    dw1, dw2, dwh, dbias = mbg(idx, traj, side, nrm,
-                                               w1, w2, wh, bias)
-                    grads = FU.grads_to_tree(params, dw1, dw2, dwh,
-                                             dbias, FR.ROLL_OBS)
-                    updates, opt_state_ = tx.update(grads, opt_state_,
-                                                    params)
-                    return (optax.apply_updates(params, updates),
-                            opt_state_), None
-
                 # One batched sort yields every epoch's block permutation
                 # (argsort of iid draws == uniform permutation); uint32
                 # bits avoid the f32-uniform key-collision bias.
                 perms = jnp.argsort(
                     jax.random.bits(key, (hp.update_epochs, n_blocks),
-                                    jnp.uint32), axis=1).astype(I32)
-
-                def epoch_body(carry, perm):
-                    carry, _ = jax.lax.scan(
-                        grad_step, carry,
-                        perm.reshape(hp.num_minibatches, blocks_per_mb))
-                    return carry, None
-
-                (params, opt_state), _ = jax.lax.scan(
-                    epoch_body, (agent.params, opt_state), perms)
-                return agent.replace(params=params), opt_state
+                                    jnp.uint32),
+                    axis=1).astype(I32).reshape(-1)
+                clip_state, (adam, scale_state) = opt_state
+                out = ufp(perms, adam.count, traj, side, nrm,
+                          *FU.pack_weights(agent.params, FR.ROLL_OBS),
+                          *FU.pack_weights(adam.mu, FR.ROLL_OBS),
+                          *FU.pack_weights(adam.nu, FR.ROLL_OBS))
+                params = FU.unpack_weights(agent.params, *out[0:4],
+                                           FR.ROLL_OBS)
+                adam = adam._replace(
+                    count=adam.count + n_updates,
+                    mu=FU.unpack_weights(adam.mu, *out[4:8], FR.ROLL_OBS),
+                    nu=FU.unpack_weights(adam.nu, *out[8:12],
+                                         FR.ROLL_OBS))
+                return (agent.replace(params=params),
+                        (clip_state, (adam, scale_state)))
 
         @jax.jit
         def train_iteration_kernel(ts: FusedTrainState):

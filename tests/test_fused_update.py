@@ -259,6 +259,88 @@ def test_prefetch_update_matches_autodiff_loop():
                                    atol=1e-5)
 
 
+def test_fused_update_phase_matches_optax():
+    """The ONE-LAUNCH update phase (all epochs x minibatches with
+    in-kernel global-norm clip + Adam) == the explicit jax.grad + optax
+    chain over the same block permutations — params, mu, nu, and count,
+    including a SECOND phase continuing from the first's state (nonzero
+    Adam count exercises the bias-correction path)."""
+    import optax
+
+    from madrona_basketball_tpu.ppo.train import make_optimizer
+
+    hp = PPOParams(num_envs=16, num_rollout_steps=8, num_minibatches=2,
+                   update_epochs=2)
+    T, W, wb = 8, 16, 4
+    wblk = W // wb
+    n_blocks = T * wblk
+    bpm = hp.minibatch_size // wb
+    n_updates = hp.update_epochs * hp.num_minibatches
+    net, ap = init_agent(jax.random.PRNGKey(13))
+    rng = np.random.RandomState(13)
+    ap = ap.replace(obs_rms=rms_update(
+        ap.obs_rms,
+        jnp.asarray(rng.normal(0.5, 1.5, (128, C.OBS_SIZE)), F32)))
+    tx = make_optimizer(hp)
+    opt_state = tx.init(ap.params)
+    nrm = pack_norm(ap.obs_rms, D)
+    _, update_policy = make_update_fns(hp, net)
+    grad_fn = jax.grad(update_policy.loss_fn, has_aux=True)
+
+    ufp = FU.make_fused_update_phase(hp, D, T, W, wb, interpret=True)
+
+    params_r, opt_r = ap.params, opt_state
+    params_k = ap.params
+    clip_s, (adam_k, scale_s) = opt_state
+
+    for phase in range(2):
+        traj, side = _make_traj_side(rng, T, W)
+        perms = jnp.argsort(
+            jax.random.bits(jax.random.PRNGKey(50 + phase),
+                            (hp.update_epochs, n_blocks), jnp.uint32),
+            axis=1).astype(jnp.int32)
+
+        # ---- one kernel launch ----
+        out = ufp(perms.reshape(-1), adam_k.count, traj, side, nrm,
+                  *pack_weights(params_k, D),
+                  *pack_weights(adam_k.mu, D),
+                  *pack_weights(adam_k.nu, D))
+        params_k = FU.unpack_weights(params_k, *out[0:4], D)
+        adam_k = adam_k._replace(
+            count=adam_k.count + n_updates,
+            mu=FU.unpack_weights(adam_k.mu, *out[4:8], D),
+            nu=FU.unpack_weights(adam_k.nu, *out[8:12], D))
+
+        # ---- explicit reference ----
+        for e in range(hp.update_epochs):
+            for m in range(hp.num_minibatches):
+                idx = perms[e, m * bpm:(m + 1) * bpm]
+                o, a, lp, v, adv, ret = _gather_blocks(traj, side, idx,
+                                                       wb, wblk)
+                grads, _ = grad_fn(params_r, ap, o, a, lp, v, adv, ret)
+                updates, opt_r = tx.update(grads, opt_r, params_r)
+                params_r = optax.apply_updates(params_r, updates)
+
+        adam_r = opt_r[1][0]
+        assert int(adam_k.count) == int(adam_r.count), phase
+        for name, got, want in (("params", params_k, params_r),
+                                ("mu", adam_k.mu, adam_r.mu),
+                                ("nu", adam_k.nu, adam_r.nu)):
+            for i, (g, r) in enumerate(zip(jax.tree.leaves(got),
+                                           jax.tree.leaves(want))):
+                np.testing.assert_allclose(
+                    np.asarray(g), np.asarray(r), atol=2e-6,
+                    err_msg=f"phase {phase} {name} leaf {i}")
+
+
+def test_pack_unpack_roundtrip():
+    _, ap = init_agent(jax.random.PRNGKey(4))
+    mats = pack_weights(ap.params, D)
+    back = FU.unpack_weights(ap.params, *mats, D)
+    for g, r in zip(jax.tree.leaves(back), jax.tree.leaves(ap.params)):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(r))
+
+
 def test_pick_update_block():
     assert FU.pick_update_block(8192, 65536) == 2048
     assert FU.pick_update_block(512, 4096) == 512
