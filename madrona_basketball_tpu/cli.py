@@ -70,6 +70,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "TPU unless --viewer needs per-step world-0 "
                         "telemetry; --no-rollout-kernel forces the "
                         "scan-of-launches rollout")
+    p.add_argument("--fused-grads", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="rollout-kernel trainer only: run the whole "
+                        "update phase (epochs x shuffled minibatches of "
+                        "gradient + clip + Adam) as ONE scalar-prefetch "
+                        "Pallas launch reading permuted blocks straight "
+                        "from the trajectory buffer; --no-fused-grads "
+                        "restores the materialized-gather autodiff "
+                        "update (PPOParams.shuffle_block granularity)")
     p.add_argument("--data-parallel", action="store_true", default=False,
                    help="shard worlds over ALL attached devices (data "
                         "mesh axis); learner replicates and gradient "
@@ -309,7 +318,8 @@ def main(argv=None):
         train_iteration = make_train_iteration_fused(
             cfg, hp, net,
             backend="pallas" if backend == "fused" else "xla",
-            mesh=mesh, rollout_kernel=rollout_kernel)
+            mesh=mesh, rollout_kernel=rollout_kernel,
+            fused_grads=args.fused_grads)
         if mesh is not None:
             from .parallel.mesh import shard_fused_train_state
             ts = shard_fused_train_state(ts, mesh)

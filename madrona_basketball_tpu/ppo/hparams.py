@@ -39,7 +39,7 @@ class PPOParams:
     # permutation deals blocks of `update_block` consecutive worlds at
     # one tick straight from the trajectory buffer — zero shuffle data
     # movement.  0 = auto (largest divisor of the world count and the
-    # minibatch size <= 1024, ops/fused_update.pick_update_block).
+    # minibatch size <= 2048, ops/fused_update.pick_update_block).
     # Convergence at the default is pinned in BENCHMARKS.md round 3.
 
     @property
