@@ -17,6 +17,11 @@ Stages (each prints immediately; all fetch-synced):
                    the same trainer; finite params + plateau
                    (VERDICT round-2 item 9b) + ms/iter at that scale.
   5. scale:        ms/iter at 16384 and 32768 for the scaling table.
+  6. jax512:       2 000 iterations @ 512 envs, seed 2 — the JAX arm of
+                   the self-contained torch-vs-JAX convergence overlay
+                   (VERDICT round-2 item 7; torch arm:
+                   crosscheck/torch_ppo.py --num-envs 512
+                   --num-iterations 2000 --seed 2).
 
 Usage: python run_round3_tpu.py [stage ...]   (default: all)
 """
@@ -74,7 +79,7 @@ def time_iter(ti, ts, label, W, T, reps=20):
 
 def main():
     stages = set(sys.argv[1:]) or {"conv", "ab", "soak8k", "soak65k",
-                                   "scale"}
+                                   "scale", "jax512"}
     from madrona_basketball_tpu.utils.profiling import enable_compile_cache
     enable_compile_cache()
     from madrona_basketball_tpu.config import SimConfig
@@ -117,6 +122,12 @@ def main():
         ts = time_iter(ti, ts, "iter-65536", 65536, hp.num_rollout_steps)
         chunk = make_train_chunk(ti, CH)
         run_chunked(ts, chunk, 2000, "soak-65536", 65536,
+                    hp.num_rollout_steps, CH)
+
+    if "jax512" in stages:
+        hp, ts, ti = make(512)
+        chunk = make_train_chunk(ti, CH)
+        run_chunked(ts, chunk, 2000, "jax-512", 512,
                     hp.num_rollout_steps, CH)
 
     if "scale" in stages:
