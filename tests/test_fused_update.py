@@ -259,7 +259,7 @@ def test_prefetch_update_matches_autodiff_loop():
                                    atol=1e-5)
 
 
-def test_fused_update_phase_matches_optax():
+def _phase_compare(hp, T, W, wb, seed):
     """The ONE-LAUNCH update phase (all epochs x minibatches with
     in-kernel global-norm clip + Adam) == the explicit jax.grad + optax
     chain over the same block permutations — params, mu, nu, and count,
@@ -269,15 +269,12 @@ def test_fused_update_phase_matches_optax():
 
     from madrona_basketball_tpu.ppo.train import make_optimizer
 
-    hp = PPOParams(num_envs=16, num_rollout_steps=8, num_minibatches=2,
-                   update_epochs=2)
-    T, W, wb = 8, 16, 4
     wblk = W // wb
     n_blocks = T * wblk
     bpm = hp.minibatch_size // wb
     n_updates = hp.update_epochs * hp.num_minibatches
-    net, ap = init_agent(jax.random.PRNGKey(13))
-    rng = np.random.RandomState(13)
+    net, ap = init_agent(jax.random.PRNGKey(seed))
+    rng = np.random.RandomState(seed)
     ap = ap.replace(obs_rms=rms_update(
         ap.obs_rms,
         jnp.asarray(rng.normal(0.5, 1.5, (128, C.OBS_SIZE)), F32)))
@@ -331,6 +328,21 @@ def test_fused_update_phase_matches_optax():
                 np.testing.assert_allclose(
                     np.asarray(g), np.asarray(r), atol=2e-6,
                     err_msg=f"phase {phase} {name} leaf {i}")
+
+
+def test_fused_update_phase_matches_optax():
+    hp = PPOParams(num_envs=16, num_rollout_steps=8, num_minibatches=2,
+                   update_epochs=2)
+    _phase_compare(hp, T=8, W=16, wb=4, seed=13)
+
+
+def test_fused_update_phase_wb_equals_w():
+    """wb == W (wblk == 1): the geometry small-world runs hit (e.g. the
+    512-env convergence overlay, where pick_update_block(512, 4096) ==
+    512) — every permuted block is a full-width tick slice."""
+    hp = PPOParams(num_envs=8, num_rollout_steps=4, num_minibatches=2,
+                   update_epochs=2)
+    _phase_compare(hp, T=4, W=8, wb=8, seed=21)
 
 
 def test_pack_unpack_roundtrip():
