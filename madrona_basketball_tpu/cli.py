@@ -157,7 +157,8 @@ def _spawn_viewer(log_folder: str):
     later `python -m madrona_basketball_tpu.viewer` can replay."""
     import subprocess
     import sys as _sys
-    if not (os.environ.get("DISPLAY") or os.environ.get("SDL_VIDEODRIVER")):
+    if not (os.environ.get("DISPLAY") or os.environ.get("WAYLAND_DISPLAY")
+            or os.environ.get("SDL_VIDEODRIVER")):
         print("Headless host (no DISPLAY): not spawning the live viewer; "
               f"npz drops still land in {log_folder}")
         return None
@@ -340,6 +341,11 @@ def main(argv=None):
         # scripts/ppo.py:261-276: --viewer also SPAWNS the watcher viewer
         # so one command gives the train-and-watch loop.
         viewer_process = _spawn_viewer(f"logs/{model_name}")
+        if viewer_process is not None:
+            # Teardown must survive exceptions / Ctrl-C in the training
+            # loop, not just the clean exit path (idempotent: poll()).
+            import atexit
+            atexit.register(_teardown_viewer, viewer_process)
 
     from .ppo.train import auto_chunk
     chunk_n = args.iters_per_dispatch or auto_chunk(

@@ -148,9 +148,9 @@ def infer(env: BasketballEnv, net, policy_params: AgentParams,
     episode_counts = np.zeros(env.num_worlds, dtype=np.int64)
 
     # Chunked fast path: no viewer attached -> no per-step interactivity
-    # needed, so K steps run as one dispatch and the trajectory slices
-    # are fetched once per chunk (episode-completion is then checked at
-    # chunk granularity; the npz may carry up to K-1 trailing steps).
+    # needed, so the on-device while_loop runs up to K steps per
+    # dispatch and stops at the exact episode-completion tick (chunked
+    # == per-step, tests/test_env.py::test_chunked_eval_matches_per_step).
     if chunk_size == 0:
         chunk_size = 1 if env.viewer is not None else 32
     if chunk_size > 1 and env.viewer is None:

@@ -479,6 +479,15 @@ def make_fused_update_phase(hp, D: int, T: int, W: int, wb: int,
     wblk = W // wb
     mb_size = hp.minibatch_size
     assert mb_size % wb == 0
+    if hp.num_minibatches * mb_size != T * W:
+        # minibatch_size floors rollout_batch_size / num_minibatches; a
+        # non-dividing minibatch count would make the grid consume fewer
+        # idx entries per epoch than each epoch's permutation holds,
+        # silently drifting later epochs into earlier permutations.
+        raise ValueError(
+            f"num_minibatches={hp.num_minibatches} must divide the "
+            f"rollout batch ({T}*{W}={T * W} samples) exactly for the "
+            f"fused update phase")
     bpm = mb_size // wb
     n_mb = hp.update_epochs * hp.num_minibatches
     grid = (n_mb * bpm,)
@@ -584,11 +593,11 @@ def make_fused_update_phase(hp, D: int, T: int, W: int, wb: int,
 
 
 def pick_update_block(W: int, mb_size: int, cap: int = 2048) -> int:
-    """Largest block width <= cap dividing both the world count and the
-    minibatch size (powers of two preferred; falls back to the gcd)."""
+    """Largest power-of-two block width <= cap dividing both the world
+    count and the minibatch size (1 always qualifies)."""
     import math
     g = math.gcd(W, mb_size)
     for cand in (2048, 1024, 512, 256, 128, 64, 32, 16, 8, 4, 2, 1):
         if cand <= cap and g % cand == 0:
             return cand
-    return g
+    raise AssertionError("unreachable: 1 divides every gcd")

@@ -269,6 +269,20 @@ def make_train_iteration_fused(cfg: SimConfig, hp: PPOParams,
                     f"{hp.minibatch_size}")
             n_blocks = T * (hp.num_envs // wb)
             n_updates = hp.update_epochs * hp.num_minibatches
+            # Data-parallel note: only the ROLLOUT is shard_mapped; this
+            # update phase runs at the global level, so under a mesh
+            # GSPMD gathers the sharded trajectory and every device
+            # executes the identical full update (a Mosaic call has no
+            # partitioning rule).  Deliberate for this model: the
+            # learner is ~5k params and the whole-update compute is
+            # ~2 ms, so replicating it costs less than sharding it and
+            # psum-ing 16 gradients/iter, and it keeps parameters
+            # bit-identical across devices with no broadcast step.  The
+            # gather is the rollout output that the update must read
+            # anyway (~128 MB at 8192 envs); at >=65k envs per SLICE,
+            # prefer more data-parallel shards over bigger per-shard
+            # worlds.  Parity asserted in __graft_entry__.dryrun and
+            # tests/test_parallel.py.
             ufp = FU.make_fused_update_phase(hp, FR.ROLL_OBS, T,
                                              hp.num_envs, wb,
                                              interpret=rollout_interpret)

@@ -55,7 +55,7 @@ def main():
             stacked["mean_reward"][-1])))
         ln = float(np.asarray(jax.device_get(
             stacked["mean_episode_length"][-1])))
-        print(f"[conv seed={seed} ub={ub or 'auto' if fused_grads else 'OFF'}] iter {done}: "
+        print(f"[conv seed={seed} ub={(ub or 'auto') if fused_grads else 'OFF'}] iter {done}: "
               f"reward {r:.1f} len {ln:.1f} "
               f"({time.perf_counter() - t0:.0f}s)", flush=True)
     leaves = jax.tree.leaves(ts.agent.params)
