@@ -30,6 +30,11 @@ def main():
         init_fused_train_state, make_train_iteration_fused)
 
     fused_grads = "--no-fused-grads" not in sys.argv
+    # Default is the canonical learning task (defender trainee, no frozen
+    # opponent — in-sim hardCodeDefense drives the offense, the reference's
+    # shape when training without a frozen checkpoint); --frozen switches
+    # to the frozen-opponent self-play shape.
+    use_frozen = "--frozen" in sys.argv
     argv = [a for a in sys.argv[1:] if not a.startswith("--")]
     sys.argv = [sys.argv[0]] + argv
     W = int(sys.argv[1]) if len(sys.argv) > 1 else 8192
@@ -38,7 +43,7 @@ def main():
     ub = int(sys.argv[4]) if len(sys.argv) > 4 else 0
 
     cfg = SimConfig()
-    hp = PPOParams(num_envs=W, use_frozen=True, update_block=ub)
+    hp = PPOParams(num_envs=W, use_frozen=use_frozen, update_block=ub)
     net, _ = init_agent(jax.random.PRNGKey(0))
     ts = init_fused_train_state(cfg, hp, net, jax.random.PRNGKey(seed))
     ti = make_train_iteration_fused(cfg, hp, net, backend="pallas",

@@ -94,8 +94,14 @@ def main():
     SEED = 2
     CH = 100
 
-    def make(W, fused_grads=True):
-        hp = PPOParams(num_envs=W, use_frozen=True)
+    def make(W, fused_grads=True, use_frozen=False):
+        # Learning-curve stages run the canonical task (defender trainee,
+        # opponent driven by the in-sim hardCodeDefense — the reference's
+        # shape when training without a frozen checkpoint, and the task the
+        # torch overlay arm and the round-2 plateau band were measured on).
+        # Throughput stages pass use_frozen=True to match the round-2
+        # frozen-opponent scaling table's workload shape.
+        hp = PPOParams(num_envs=W, use_frozen=use_frozen)
         ts = init_fused_train_state(cfg, hp, net, jax.random.PRNGKey(SEED))
         ti = make_train_iteration_fused(cfg, hp, net, backend="pallas",
                                         rollout_kernel=True,
@@ -118,7 +124,7 @@ def main():
                     hp.num_rollout_steps, CH)
 
     if "soak65k" in stages:
-        hp, ts, ti = make(65536)
+        hp, ts, ti = make(65536, use_frozen=True)
         ts = time_iter(ti, ts, "iter-65536", 65536, hp.num_rollout_steps)
         chunk = make_train_chunk(ti, CH)
         run_chunked(ts, chunk, 2000, "soak-65536", 65536,
@@ -132,7 +138,7 @@ def main():
 
     if "scale" in stages:
         for W in (16384, 32768):
-            hp, ts, ti = make(W)
+            hp, ts, ti = make(W, use_frozen=True)
             time_iter(ti, ts, f"iter-{W}", W, hp.num_rollout_steps)
 
     print("[round3-tpu] all stages complete", flush=True)

@@ -62,7 +62,7 @@ def _policy_step(net, ap, obs_rows, lo, gum_u):
     return actions, logp, value
 
 
-def test_rollout_kernel_matches_xla_reference():
+def _run_kernel_vs_xla(use_frozen):
     cfg = SimConfig()
     worlds, T, ti = 256, 3, 1
     net, agent = agent_lib.init_agent(jax.random.PRNGKey(11))
@@ -84,12 +84,12 @@ def test_rollout_kernel_matches_xla_reference():
     f_u = jnp.asarray(rng.uniform(0.0, 1.0, (T, N_LOGITS, worlds)), F32)
 
     rollout = make_fused_rollout(cfg, worlds, T, trainee_idx=ti,
-                                 use_frozen=True, block=128,
+                                 use_frozen=use_frozen, block=128,
                                  interpret=True, external_noise=True)
     noise = pack_rollout_noise(sim_chunks, t_u, f_u)
-    sf_k, si_k, obs_k, traj = rollout(noise, sf, si, obs0,
-                                      *pack_policy(agent),
-                                      *pack_policy(frozen))
+    mats = pack_policy(agent) + (pack_policy(frozen) if use_frozen
+                                 else ())
+    sf_k, si_k, obs_k, traj = rollout(noise, sf, si, obs0, *mats)
 
     # ---- reference rollout ----
     ti_lo, fi_lo = ti * OBS, (1 - ti) * OBS
@@ -103,7 +103,9 @@ def test_rollout_kernel_matches_xla_reference():
     for t in range(T):
         actions, logp, value = _policy_step(net, agent, obs_r, ti_lo,
                                             t_u[t])
-        f_actions, _, _ = _policy_step(net, frozen, obs_r, fi_lo, f_u[t])
+        if use_frozen:
+            f_actions, _, _ = _policy_step(net, frozen, obs_r, fi_lo,
+                                           f_u[t])
         np.testing.assert_array_equal(
             np.asarray(traj[t, R_ACT:R_ACT + 6].T, dtype=np.int32),
             np.asarray(actions))
@@ -117,7 +119,8 @@ def test_rollout_kernel_matches_xla_reference():
                                    np.asarray(value), atol=1e-4)
         for j in range(6):
             si_r = si_r.at[t_rows[j]].set(actions[:, j])
-            si_r = si_r.at[f_rows[j]].set(f_actions[:, j])
+            if use_frozen:
+                si_r = si_r.at[f_rows[j]].set(f_actions[:, j])
         sf_r, si_r, obs_r = fused_step_xla(cfg, sf_r, si_r, sim_chunks[t])
         np.testing.assert_allclose(np.asarray(traj[t, R_REW]),
                                    np.asarray(
@@ -133,6 +136,17 @@ def test_rollout_kernel_matches_xla_reference():
     np.testing.assert_array_equal(np.asarray(si_k), np.asarray(si_r))
     np.testing.assert_allclose(np.asarray(obs_k), np.asarray(obs_r),
                                atol=1e-5)
+
+
+def test_rollout_kernel_matches_xla_reference():
+    _run_kernel_vs_xla(use_frozen=True)
+
+
+def test_rollout_kernel_matches_xla_no_frozen():
+    """The canonical learning task's shape (defender trainee, opponent
+    driven in-sim by hardCodeDefense — no frozen policy forward and no
+    opponent action write inside the kernel)."""
+    _run_kernel_vs_xla(use_frozen=False)
 
 
 def test_policy_forward_rows_matches_flax():
