@@ -98,6 +98,28 @@ def test_rollout_kernel_trainer_interpret():
     assert float(ts.agent.obs_rms.count) == 1 + 2 * 8 * 16
 
 
+def test_rollout_kernel_trainer_interpret_no_frozen():
+    """The flagship trainer on the canonical learning task (defender
+    trainee, no frozen opponent — in-sim hardCodeDefense drives the
+    offense): the config the convergence/overlay evidence runs use."""
+    hp = PPOParams(num_envs=16, num_rollout_steps=8, num_minibatches=2,
+                   update_epochs=2, use_frozen=False, trainee_idx=1)
+    net, _ = init_agent(jax.random.PRNGKey(0))
+    ts = TF.init_fused_train_state(CFG, hp, net, jax.random.PRNGKey(5))
+    it = TF.make_train_iteration_fused(CFG, hp, net, backend="xla",
+                                       rollout_kernel=True,
+                                       rollout_interpret=True)
+    p0 = jax.tree.leaves(ts.agent.params)[0]
+    for _ in range(2):
+        ts, m = it(ts)
+    for leaf in jax.tree.leaves(ts.agent.params):
+        assert np.all(np.isfinite(np.asarray(leaf)))
+    assert not np.allclose(np.asarray(p0),
+                           np.asarray(jax.tree.leaves(ts.agent.params)[0]))
+    assert np.isfinite(float(m["adv_abs_mean"]))
+    assert float(ts.agent.obs_rms.count) == 1 + 2 * 8 * 16
+
+
 def test_fused_trainer_full_game_config():
     """The trainer runs on the full-basketball ruleset (is1v1=0 branches:
     scoring inbounds, OOB turnovers, quarter rollover) — not just tag."""
