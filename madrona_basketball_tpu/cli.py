@@ -79,6 +79,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "from the trajectory buffer; --no-fused-grads "
                         "restores the materialized-gather autodiff "
                         "update (PPOParams.shuffle_block granularity)")
+    p.add_argument("--fused-gae", action=argparse.BooleanOptionalAction,
+                   default=False,
+                   help="rollout-kernel trainer only: run GAE + "
+                        "side-array assembly as one Pallas pass and "
+                        "normalize inside the update kernel "
+                        "(ops/fused_gae.py); requires --fused-grads")
     p.add_argument("--data-parallel", action="store_true", default=False,
                    help="shard worlds over ALL attached devices (data "
                         "mesh axis); learner replicates and gradient "
@@ -320,7 +326,9 @@ def main(argv=None):
             cfg, hp, net,
             backend="pallas" if backend == "fused" else "xla",
             mesh=mesh, rollout_kernel=rollout_kernel,
-            fused_grads=args.fused_grads)
+            fused_grads=args.fused_grads,
+            fused_gae=args.fused_gae and rollout_kernel and
+            args.fused_grads)
         if mesh is not None:
             from .parallel.mesh import shard_fused_train_state
             ts = shard_fused_train_state(ts, mesh)

@@ -1,0 +1,152 @@
+"""GAE + side-array assembly as one Pallas kernel.
+
+After the one-launch update phase (ops/fused_update.py), the XLA
+segment between the rollout kernel and the update kernel is dominated
+by several full-trajectory passes: value unnormalization, the 32-step
+`lax.scan` GAE recursion, two `rms_update` reductions, the advantage
+mean/std reductions, two `rms_normalize` passes and the (T, SIDE_ROWS,
+W) side-array concatenation.  This kernel folds all of the (T, W)-sized
+work into ONE pass over W-blocks:
+
+  - unnormalizes values in place (pre-update value_rms scalars ride in
+    a tiny const operand),
+  - runs the reverse GAE recursion with the reference's t == T-1
+    boundary quirk (ops/gae.py, scripts/ppo.py:156-161) as an unrolled
+    loop over VMEM rows,
+  - writes the side array RAW (unnormalized values / raw advantages /
+    raw returns) in its final (T, SIDE_ROWS, W) block geometry, and
+  - emits per-block two-pass (mean, M2) moments for values,
+    advantages and returns.
+
+Normalization moves INTO the update kernel (make_fused_update_phase
+raw_side=True): the post-GAE value_rms and the advantage mean/std are
+closed-form functions of the block moments (Chan's merge,
+models/normalize._rms_merge), so they cost a handful of scalar ops in
+XLA instead of four more full-array passes.
+
+The recipe being fused is `/root/reference/scripts/ppo.py:144-177`
+(compute_advantages: unnorm -> reversed GAE loop -> normalizer updates
+-> in-place normalization).  Equivalence with the unfused path is
+pinned by tests/test_fused_gae.py.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .fused_update import SIDE_ROWS
+
+F32 = jnp.float32
+
+# vstats column layout (input): [value_mean, value_sigma] of the
+# PRE-update value_rms (sigma = sqrt(var + normalize.EPS), the
+# rms_unnormalize scale).
+VSTAT_COLS = 8
+
+
+def pick_gae_block(W: int, cap: int = 1024) -> int:
+    """Largest power-of-two worlds-per-block <= cap dividing W."""
+    for cand in (1024, 512, 256, 128, 64, 32, 16, 8, 4, 2, 1):
+        if cand <= cap and W % cand == 0:
+            return cand
+    raise AssertionError("unreachable: 1 divides every W")
+
+
+def make_fused_gae(T: int, W: int, gamma: float, lam: float,
+                   gb: int | None = None, interpret: bool = False):
+    """Build gae_fn(values_n (T, W), rewards (T, W), done (T, W),
+    next_value_n (1, W), vstats (1, VSTAT_COLS)) ->
+    (side (T, SIDE_ROWS, W), moments (n_blocks, 8)).
+
+    side rows: [value_un, advantage_raw, return_raw, 0...] (the
+    raw_side contract of make_fused_update_phase).
+    moments cols: [v_mean, v_M2, a_mean, a_M2, r_mean, r_M2, 0, 0]
+    per block of T * gb samples (two-pass, so no catastrophic
+    cancellation on the value moments)."""
+    gb = gb or pick_gae_block(W)
+    assert W % gb == 0
+    n_blocks = W // gb
+    n_per = float(T * gb)
+
+    def kernel(v_ref, r_ref, d_ref, nv_ref, vs_ref, side_o, mom_o):
+        vs = vs_ref[...]                        # (1, VSTAT_COLS)
+        vmean = vs[0, 0]
+        vsig = vs[0, 1]
+        v_un = vmean + vsig * jnp.clip(v_ref[...], -5.0, 5.0)   # (T, gb)
+        next_un = vmean + vsig * jnp.clip(nv_ref[...], -5.0, 5.0)
+        nd = 1.0 - d_ref[...]
+        # reference boundary quirk: at t == T-1 the mask is
+        # not_dones[T-1] paired with the bootstrap value
+        nvs = jnp.concatenate([v_un[1:], next_un], axis=0)
+        nnt = jnp.concatenate([nd[1:], nd[T - 1:T]], axis=0)
+        deltas = r_ref[...] + gamma * nvs * nnt - v_un
+
+        lastgae = jnp.zeros((1, gb), F32)
+        adv_rows = [None] * T
+        for t in reversed(range(T)):
+            lastgae = deltas[t:t + 1] + \
+                (gamma * lam) * nnt[t:t + 1] * lastgae
+            adv_rows[t] = lastgae
+        adv = jnp.concatenate(adv_rows, axis=0)                 # (T, gb)
+        ret = adv + v_un
+
+        side_o[...] = jnp.concatenate(
+            [v_un[:, None, :], adv[:, None, :], ret[:, None, :],
+             jnp.zeros((T, SIDE_ROWS - 3, gb), F32)], axis=1)
+
+        cells = []
+        for x in (v_un, adv, ret):
+            m = jnp.sum(x) * (1.0 / n_per)
+            m2 = jnp.sum((x - m) * (x - m))
+            cells.append(m.reshape(1, 1))
+            cells.append(m2.reshape(1, 1))
+        mom_o[...] = jnp.concatenate(cells + [jnp.zeros((1, 2), F32)],
+                                     axis=1)
+
+    def gae_fn(values_n, rewards, done, next_value_n, vstats):
+        call = pl.pallas_call(
+            kernel,
+            grid=(n_blocks,),
+            in_specs=[
+                pl.BlockSpec((T, gb), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((T, gb), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((T, gb), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, gb), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, VSTAT_COLS), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((T, SIDE_ROWS, gb), lambda i: (0, 0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 8), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((T, SIDE_ROWS, W), F32),
+                jax.ShapeDtypeStruct((n_blocks, 8), F32),
+            ],
+            interpret=interpret,
+        )
+        return call(values_n, rewards, done, next_value_n, vstats)
+
+    gae_fn.gb = gb
+    gae_fn.n_blocks = n_blocks
+    return gae_fn
+
+
+def combine_block_moments(means, m2s, n_per: float):
+    """Chan combine of equal-count per-block (mean, M2) pairs ->
+    (mean, unbiased variance, count) of the full batch."""
+    k = means.shape[0]
+    n_total = n_per * k
+    gmean = jnp.mean(means)
+    m2 = jnp.sum(m2s) + n_per * jnp.sum((means - gmean) ** 2)
+    var = m2 / jnp.maximum(n_total - 1.0, 1.0)
+    return gmean, var, n_total

@@ -447,7 +447,8 @@ def unpack_weights(old_tree, w1t, w2t, wht, bias, D: int):
 
 
 def make_fused_update_phase(hp, D: int, T: int, W: int, wb: int,
-                            interpret: bool = False):
+                            interpret: bool = False,
+                            raw_side: bool = False):
     """The ENTIRE PPO update phase — epochs x shuffled minibatches of
     gradient + global-norm clip + Adam — as ONE Pallas launch.
 
@@ -472,8 +473,15 @@ def make_fused_update_phase(hp, D: int, T: int, W: int, wb: int,
     blocks stream permuted from HBM continuously across minibatch and
     epoch boundaries with zero host or XLA involvement.
 
+    With raw_side=True (the fused-GAE contract, ops/fused_gae.py), the
+    side rows carry RAW [value_un, advantage, return] and the kernel
+    normalizes them per block using four scalars from an extra (1, 8)
+    `ustats` operand: [v_mean', v_rstd'(=rsqrt(var'+normalize.EPS)),
+    adv_mean, adv_rscale(=1/(sigma+1e-8))] — eliminating the XLA
+    rms_normalize / advantage-normalize passes entirely.
+
     Returns update_fn(idx (E*NBLK,) i32, count () i32 Adam step count,
-    traj, side, nrm, w1t, w2t, wht, bias, m1..m4, v1..v4) ->
+    traj, side, nrm[, ustats], w1t, w2t, wht, bias, m1..m4, v1..v4) ->
     (w1t', w2t', wht', bias', m1'..m4', v1'..v4')."""
     assert W % wb == 0
     wblk = W // wb
@@ -497,15 +505,18 @@ def make_fused_update_phase(hp, D: int, T: int, W: int, wb: int,
     max_norm = hp.max_grad_norm
     B1, B2, EPS_ADAM = 0.9, 0.999, 1e-8
 
-    def kernel(idx_ref, cnt_ref, traj_blk, side_blk, nrm_r,
-               seg_r, segT_r, base_r,
-               w1_in, w2_in, wh_in, b_in,
-               m1_in, m2_in, mh_in, mb_in,
-               v1_in, v2_in, vh_in, vb_in,
-               w1_o, w2_o, wh_o, b_o,
-               m1_o, m2_o, mh_o, mb_o,
-               v1_o, v2_o, vh_o, vb_o,
-               g1_s, g2_s, gh_s, gb_s):
+    def kernel(idx_ref, cnt_ref, traj_blk, side_blk, nrm_r, *rest):
+        if raw_side:
+            ustats_r = rest[0]
+            rest = rest[1:]
+        (seg_r, segT_r, base_r,
+         w1_in, w2_in, wh_in, b_in,
+         m1_in, m2_in, mh_in, mb_in,
+         v1_in, v2_in, vh_in, vb_in,
+         w1_o, w2_o, wh_o, b_o,
+         m1_o, m2_o, mh_o, mb_o,
+         v1_o, v2_o, vh_o, vb_o,
+         g1_s, g2_s, gh_s, gb_s) = rest
         i = pl.program_id(0)
         p_o = (w1_o, w2_o, wh_o, b_o)
         m_o = (m1_o, m2_o, mh_o, mb_o)
@@ -524,9 +535,20 @@ def make_fused_update_phase(hp, D: int, T: int, W: int, wb: int,
 
         blk = traj_blk[0]
         sd = side_blk[0]
+        if raw_side:
+            us = ustats_r[...]
+            vm, vr = us[0, 0], us[0, 1]
+            am, ar = us[0, 2], us[0, 3]
+            v_n = jnp.clip((sd[SIDE_VALUE] - vm) * vr, -5.0, 5.0)
+            a_n = (sd[SIDE_ADV] - am) * ar
+            r_n = jnp.clip((sd[SIDE_RET] - vm) * vr, -5.0, 5.0)
+        else:
+            v_n = sd[SIDE_VALUE]
+            a_n = sd[SIDE_ADV]
+            r_n = sd[SIDE_RET]
         _block_grads(hp, D, inv_mb,
                      blk[0:D], blk[D:D + K], blk[D + K],
-                     sd[SIDE_VALUE], sd[SIDE_ADV], sd[SIDE_RET],
+                     v_n, a_n, r_n,
                      nrm_r[...], w1_o[...], w2_o[...], wh_o[...],
                      b_o[...], seg_r[...], segT_r[...], base_r[...],
                      g1_s, g2_s, gh_s, gb_s)
@@ -560,7 +582,15 @@ def make_fused_update_phase(hp, D: int, T: int, W: int, wb: int,
 
     SHAPES = ((H, D), (H, H), (N_OUT, H), (H, N_BCOL))
 
-    def update_fn(idx, count, traj, side, nrm, *mats):
+    def update_fn(idx, count, traj, side, nrm, *rest):
+        if raw_side:
+            ustats, mats = rest[0], rest[1:]
+            ustats_specs = [const_spec((1, 8))]
+            ustats_args = (ustats,)
+        else:
+            mats = rest
+            ustats_specs = []
+            ustats_args = ()
         assert len(mats) == 12
         rows = traj.shape[1]
         gs = pltpu.PrefetchScalarGridSpec(
@@ -572,6 +602,7 @@ def make_fused_update_phase(hp, D: int, T: int, W: int, wb: int,
                 pl.BlockSpec((1, SIDE_ROWS, wb), perm_map,
                              memory_space=pltpu.VMEM),
                 const_spec((2, D)),
+            ] + ustats_specs + [
                 const_spec((NB, N_LOGITS)), const_spec((N_LOGITS, NB)),
                 const_spec((NB, 1)),
             ] + [const_spec(s) for s in SHAPES * 3],
@@ -585,7 +616,7 @@ def make_fused_update_phase(hp, D: int, T: int, W: int, wb: int,
             interpret=interpret,
         )
         return call(idx.astype(I32), count.reshape(1).astype(I32),
-                    traj, side, nrm, jnp.asarray(_SEG),
+                    traj, side, nrm, *ustats_args, jnp.asarray(_SEG),
                     jnp.asarray(_SEG.T), jnp.asarray(_BASE[:, None]),
                     *mats)
 

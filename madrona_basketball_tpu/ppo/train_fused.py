@@ -79,7 +79,8 @@ def make_train_iteration_fused(cfg: SimConfig, hp: PPOParams,
                                block: int = 2048, mesh=None,
                                rollout_kernel: bool = False,
                                rollout_interpret: bool = False,
-                               fused_grads: bool = True):
+                               fused_grads: bool = True,
+                               fused_gae: bool = False):
     """`mesh`: optional jax.sharding.Mesh with a 'data' axis.  When given,
     the sim kernel runs under shard_map with worlds split across devices
     (a Pallas custom call does not auto-partition); everything else (policy,
@@ -102,6 +103,10 @@ def make_train_iteration_fused(cfg: SimConfig, hp: PPOParams,
     if rollout_kernel and backend != "pallas" and not rollout_interpret:
         raise ValueError("rollout_kernel requires the pallas backend (TPU); "
                          "pass rollout_interpret=True to dry-run on CPU")
+    if fused_gae and not (rollout_kernel and fused_grads):
+        raise ValueError("fused_gae requires rollout_kernel=True and "
+                         "fused_grads=True (it consumes the trajectory "
+                         "buffer's raw-side contract)")
     ti = hp.trainee_idx
     fi = 1 - ti
     T = hp.num_rollout_steps
@@ -242,7 +247,8 @@ def make_train_iteration_fused(cfg: SimConfig, hp: PPOParams,
             signed = jnp.asarray(row < 8)[:, None]
             return jnp.where(signed, 2.0 * u - 1.0, u)
 
-        from ..models.normalize import (rms_normalize, rms_update,
+        from ..models.normalize import (EPS as RMS_EPS, _rms_merge,
+                                        rms_normalize, rms_update,
                                         rms_update_padded,
                                         rms_update_padded_tdw)
         from ..ops.gae import compute_gae
@@ -285,9 +291,19 @@ def make_train_iteration_fused(cfg: SimConfig, hp: PPOParams,
             # tests/test_parallel.py.
             ufp = FU.make_fused_update_phase(hp, FR.ROLL_OBS, T,
                                              hp.num_envs, wb,
-                                             interpret=rollout_interpret)
+                                             interpret=rollout_interpret,
+                                             raw_side=fused_gae)
+            if fused_gae:
+                # GAE + side-array assembly as one Pallas pass; the
+                # side rows stay RAW and the update kernel normalizes
+                # them in place from four scalars (ops/fused_gae.py).
+                from ..ops import fused_gae as FG
+                gae_kernel = FG.make_fused_gae(
+                    T, hp.num_envs, hp.gamma, hp.gae_lambda,
+                    interpret=rollout_interpret)
 
-            def update_policy_traj(agent, opt_state, traj, side, key):
+            def update_policy_traj(agent, opt_state, traj, side, key,
+                                   ustats=None):
                 nrm = FU.pack_norm(agent.obs_rms, FR.ROLL_OBS)
                 # One batched sort yields every epoch's block permutation
                 # (argsort of iid draws == uniform permutation); uint32
@@ -297,7 +313,8 @@ def make_train_iteration_fused(cfg: SimConfig, hp: PPOParams,
                                     jnp.uint32),
                     axis=1).astype(I32).reshape(-1)
                 clip_state, (adam, scale_state) = opt_state
-                out = ufp(perms, adam.count, traj, side, nrm,
+                extra = (ustats,) if fused_gae else ()
+                out = ufp(perms, adam.count, traj, side, nrm, *extra,
                           *FU.pack_weights(agent.params, FR.ROLL_OBS),
                           *FU.pack_weights(adam.mu, FR.ROLL_OBS),
                           *FU.pack_weights(adam.nu, FR.ROLL_OBS))
@@ -338,6 +355,67 @@ def make_train_iteration_fused(cfg: SimConfig, hp: PPOParams,
             # identical to make_update_fns.compute_advantages
             # (scripts/ppo.py:144-177). ----
             agent = ts.agent
+            if fused_gae:
+                # One Pallas pass replaces unnorm + the 32-step GAE scan
+                # + both rms_update reductions + adv mean/std + both
+                # rms_normalize passes + the side-array concat: the
+                # kernel writes the RAW side array and per-block
+                # two-pass moments; the normalizer/advantage statistics
+                # are closed-form Chan merges of those moments, and the
+                # update kernel normalizes the side rows in place from
+                # four prefetched scalars.  Semantics identical to the
+                # unfused path (tests/test_fused_gae.py).
+                from ..ops import fused_gae as FG
+                vrm = agent.value_rms
+                vstats = jnp.concatenate([
+                    vrm.mean[0].reshape(1, 1),
+                    jnp.sqrt(vrm.var[0] + RMS_EPS).reshape(1, 1),
+                    jnp.zeros((1, FG.VSTAT_COLS - 2), F32)],
+                    axis=1).astype(F32)
+                side, moments = gae_kernel(values, rewards, done,
+                                           next_value[None, :], vstats)
+                n_per = float(T * gae_kernel.gb)
+                vm_b, vv_b, nN = FG.combine_block_moments(
+                    moments[:, 0], moments[:, 1], n_per)
+                am_b, av_b, _ = FG.combine_block_moments(
+                    moments[:, 2], moments[:, 3], n_per)
+                rm_b, rv_b, _ = FG.combine_block_moments(
+                    moments[:, 4], moments[:, 5], n_per)
+                value_rms = _rms_merge(vrm, vm_b.reshape(1),
+                                       vv_b.reshape(1), nN)
+                value_rms = _rms_merge(value_rms, rm_b.reshape(1),
+                                       rv_b.reshape(1), nN)
+                sigma = jnp.sqrt(av_b)
+                ar = 1.0 / (sigma + 1e-8)
+                vr_post = jax.lax.rsqrt(value_rms.var[0] + RMS_EPS)
+                ustats = jnp.concatenate([
+                    value_rms.mean[0].reshape(1, 1),
+                    vr_post.reshape(1, 1), am_b.reshape(1, 1),
+                    ar.reshape(1, 1), jnp.zeros((1, 4), F32)],
+                    axis=1).astype(F32)
+                obs_rms = rms_update_padded_tdw(
+                    agent.obs_rms, traj[:, :FR.ROLL_OBS, :])
+                agent = agent.replace(obs_rms=obs_rms,
+                                      value_rms=value_rms)
+                agent, opt_state = update_policy_traj(
+                    agent, ts.opt_state, traj, side, k_upd, ustats)
+                adv_n = (side[:, FU.SIDE_ADV, :] - am_b) * ar
+                values_n = jnp.clip(
+                    (side[:, FU.SIDE_VALUE, :] - value_rms.mean[0]) *
+                    vr_post, -5.0, 5.0)
+                metrics = {
+                    "mean_reward": stats.mean_reward,
+                    "mean_episode_length": stats.mean_length,
+                    "reward_window": stats.reward_size,
+                    "adv_abs_mean": jnp.abs(adv_n).mean(),
+                    "value_mean": values_n.mean(),
+                }
+                ts = ts.replace(agent=agent, opt_state=opt_state,
+                                sf=sf, si=si, obs=obs,
+                                env_keys=env_keys, stats=stats, key=key,
+                                iteration=ts.iteration + 1)
+                return ts, metrics
+
             values_un = agent_lib.unnorm_value(agent, values)
             next_un = agent_lib.unnorm_value(agent, next_value)
             advantages, returns = compute_gae(rewards, values_un,

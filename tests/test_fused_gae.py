@@ -1,0 +1,139 @@
+"""Fused GAE kernel (ops/fused_gae.py) vs the unfused XLA pipeline.
+
+The kernel must reproduce, in one pass, what the flagship trainer's XLA
+segment does between the rollout and update kernels: value
+unnormalization, the reverse GAE recursion with the reference's
+t == T-1 boundary quirk (scripts/ppo.py:156-161), the side-array
+assembly, and — via its block moments + Chan combine — the exact
+normalizer/advantage statistics the update consumes."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from madrona_basketball_tpu.models.normalize import (EPS, RMSState,
+                                                     _rms_merge,
+                                                     rms_normalize,
+                                                     rms_update)
+from madrona_basketball_tpu.ops import fused_gae as FG
+from madrona_basketball_tpu.ops import fused_update as FU
+from madrona_basketball_tpu.ops.gae import compute_gae
+
+F32 = jnp.float32
+
+
+def _mk_inputs(T, W, seed=0):
+    rng = np.random.RandomState(seed)
+    values_n = jnp.asarray(rng.uniform(-6, 6, (T, W)), F32)
+    rewards = jnp.asarray(rng.uniform(-120, 20, (T, W)), F32)
+    done = jnp.asarray((rng.uniform(size=(T, W)) < 0.05), F32)
+    next_value_n = jnp.asarray(rng.uniform(-6, 6, (W,)), F32)
+    vrm = RMSState(mean=jnp.asarray([-80.0]), var=jnp.asarray([900.0]),
+                   count=jnp.asarray(5000.0))
+    return values_n, rewards, done, next_value_n, vrm
+
+
+def _unnorm(vrm, x):
+    return vrm.mean[0] + jnp.sqrt(vrm.var[0] + EPS) * jnp.clip(x, -5, 5)
+
+
+def test_fused_gae_matches_xla_pipeline():
+    T, W = 8, 256
+    gamma, lam = 0.998, 0.95
+    values_n, rewards, done, next_value_n, vrm = _mk_inputs(T, W)
+
+    gk = FG.make_fused_gae(T, W, gamma, lam, interpret=True)
+    vstats = jnp.concatenate(
+        [vrm.mean[0].reshape(1, 1),
+         jnp.sqrt(vrm.var[0] + EPS).reshape(1, 1),
+         jnp.zeros((1, FG.VSTAT_COLS - 2), F32)], axis=1)
+    side, moments = gk(values_n, rewards, done, next_value_n[None, :],
+                       vstats)
+
+    # ---- reference pipeline ----
+    values_un = _unnorm(vrm, values_n)
+    next_un = _unnorm(vrm, next_value_n)
+    adv, ret = compute_gae(rewards, values_un, 1.0 - done, next_un,
+                           gamma, lam)
+
+    np.testing.assert_allclose(np.asarray(side[:, FU.SIDE_VALUE, :]),
+                               np.asarray(values_un), rtol=1e-4,
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(side[:, FU.SIDE_ADV, :]),
+                               np.asarray(adv), rtol=1e-5, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(side[:, FU.SIDE_RET, :]),
+                               np.asarray(ret), rtol=1e-5, atol=1e-3)
+    assert np.all(np.asarray(side[:, 3:, :]) == 0.0)
+
+    # ---- statistics: Chan-combined block moments == full-batch ----
+    n_per = float(T * gk.gb)
+    for col, x in ((0, values_un), (2, adv), (4, ret)):
+        mean_b, var_b, nN = FG.combine_block_moments(
+            moments[:, col], moments[:, col + 1], n_per)
+        assert float(nN) == T * W
+        np.testing.assert_allclose(float(mean_b), float(x.mean()),
+                                   rtol=1e-5, atol=1e-3)
+        np.testing.assert_allclose(float(var_b),
+                                   float(x.std(ddof=1) ** 2),
+                                   rtol=1e-4, atol=1e-3)
+
+    # ---- the value_rms the moments produce == two rms_update calls ----
+    vm_b, vv_b, nN = FG.combine_block_moments(moments[:, 0],
+                                              moments[:, 1], n_per)
+    rm_b, rv_b, _ = FG.combine_block_moments(moments[:, 4],
+                                             moments[:, 5], n_per)
+    merged = _rms_merge(vrm, vm_b.reshape(1), vv_b.reshape(1), nN)
+    merged = _rms_merge(merged, rm_b.reshape(1), rv_b.reshape(1), nN)
+    ref = rms_update(vrm, values_un.reshape(-1, 1))
+    ref = rms_update(ref, ret.reshape(-1, 1))
+    np.testing.assert_allclose(np.asarray(merged.mean),
+                               np.asarray(ref.mean), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(merged.var),
+                               np.asarray(ref.var), rtol=1e-4)
+    np.testing.assert_allclose(float(merged.count), float(ref.count))
+
+
+def test_fused_gae_trainer_matches_unfused():
+    """Full flagship iteration with fused_gae=True == fused_gae=False
+    (same seed, interpret mode): parameters, normalizers and metrics."""
+    from madrona_basketball_tpu.config import SimConfig
+    from madrona_basketball_tpu.models.agent import init_agent
+    from madrona_basketball_tpu.ppo.hparams import PPOParams
+    from madrona_basketball_tpu.ppo import train_fused as TF
+
+    cfg = SimConfig()
+    hp = PPOParams(num_envs=16, num_rollout_steps=8, num_minibatches=2,
+                   update_epochs=2, use_frozen=False, trainee_idx=1)
+    net, _ = init_agent(jax.random.PRNGKey(0))
+
+    results = []
+    for fg in (False, True):
+        ts = TF.init_fused_train_state(cfg, hp, net, jax.random.PRNGKey(7))
+        it = TF.make_train_iteration_fused(cfg, hp, net, backend="xla",
+                                           rollout_kernel=True,
+                                           rollout_interpret=True,
+                                           fused_gae=fg)
+        ms = []
+        for _ in range(2):
+            ts, m = it(ts)
+            ms.append(m)
+        results.append((ts, ms))
+
+    (ts_a, ms_a), (ts_b, ms_b) = results
+    for a, b in zip(jax.tree.leaves(ts_a.agent.params),
+                    jax.tree.leaves(ts_b.agent.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(ts_a.agent.value_rms.mean),
+                               np.asarray(ts_b.agent.value_rms.mean),
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(ts_a.agent.value_rms.var),
+                               np.asarray(ts_b.agent.value_rms.var),
+                               rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(ts_a.agent.obs_rms.mean),
+                               np.asarray(ts_b.agent.obs_rms.mean),
+                               rtol=1e-5, atol=1e-6)
+    for m_a, m_b in zip(ms_a, ms_b):
+        for k in m_a:
+            np.testing.assert_allclose(float(m_a[k]), float(m_b[k]),
+                                       rtol=1e-3, atol=1e-4)
