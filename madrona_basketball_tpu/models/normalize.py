@@ -109,6 +109,24 @@ def rms_update_padded_tdw(st: RMSState, x: jax.Array) -> RMSState:
         count=sub.count)
 
 
+def rms_update_padded_moments(st: RMSState, mean: jax.Array,
+                              m2: jax.Array, n) -> RMSState:
+    """rms_update_padded_tdw from precomputed per-feature batch moments
+    (mean, centered M2, count) — the contract of
+    ops/fused_gae.make_obs_moments, which reduces the trajectory obs
+    rows in one HBM pass instead of two."""
+    used = mean.shape[0]
+    n = jnp.asarray(n, F32)
+    var = m2 / jnp.maximum(n - 1.0, 1.0)
+    sub = _rms_merge(RMSState(mean=st.mean[:used], var=st.var[:used],
+                              count=st.count), mean, var, n)
+    new_pad_mean, new_pad_var = _pad_tail(st, used, n)
+    return RMSState(
+        mean=jnp.concatenate([sub.mean, new_pad_mean]),
+        var=jnp.concatenate([sub.var, new_pad_var]),
+        count=sub.count)
+
+
 def rms_update(st: RMSState, x: jax.Array) -> RMSState:
     """Merge a batch (N, dim) into the running stats (scripts/agent.py:40-50).
 

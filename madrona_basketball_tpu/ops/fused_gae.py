@@ -141,6 +141,70 @@ def make_fused_gae(T: int, W: int, gamma: float, lam: float,
     return gae_fn
 
 
+def make_obs_moments(T: int, W: int, used: int, gb: int | None = None,
+                     interpret: bool = False):
+    """One-pass per-feature obs moments over the trajectory buffer.
+
+    The XLA obs-normalizer update (models/normalize.rms_update_padded_tdw)
+    reads the (T, used, W) obs rows TWICE (mean pass + centered-M2
+    pass, ~216 MB of HBM traffic at 8192x32).  This kernel streams each
+    (used, gb) tile once and folds it into a running (mean, M2, n)
+    per-feature accumulator with Chan's incremental merge, held in a
+    VMEM-resident output block — one 108 MB pass, numerically the
+    two-pass-per-tile + Chan-merge scheme (no E[x^2]-mean^2
+    cancellation).
+
+    Returns mom_fn(traj (T, rows, W)) -> (used, 8) with cols
+    [mean, M2, n, 0...]; batch unbiased var = M2 / (n - 1)."""
+    gb = gb or pick_gae_block(W)
+    assert W % gb == 0
+    n_wb = W // gb
+    fgb = float(gb)
+
+    def kernel(x_ref, out_o):
+        i = pl.program_id(0)
+        x = x_ref[0]                                  # (used, gb)
+        m_b = jnp.sum(x, axis=1, keepdims=True) * (1.0 / fgb)
+        m2_b = jnp.sum((x - m_b) * (x - m_b), axis=1, keepdims=True)
+
+        @pl.when(i == 0)
+        def _():
+            out_o[...] = jnp.concatenate(
+                [m_b, m2_b, jnp.full((used, 1), fgb, F32),
+                 jnp.zeros((used, 5), F32)], axis=1)
+
+        @pl.when(i != 0)
+        def _():
+            acc = out_o[...]
+            m_run = acc[:, 0:1]
+            m2_run = acc[:, 1:2]
+            n_run = acc[:, 2:3]
+            n_new = n_run + fgb
+            delta = m_b - m_run
+            out_o[...] = jnp.concatenate(
+                [m_run + delta * (fgb / n_new),
+                 m2_run + m2_b + delta * delta * (n_run * fgb / n_new),
+                 n_new, jnp.zeros((used, 5), F32)], axis=1)
+
+    def mom_fn(traj):
+        call = pl.pallas_call(
+            kernel,
+            grid=(T * n_wb,),
+            in_specs=[
+                pl.BlockSpec((1, used, gb),
+                             lambda i: (i // n_wb, 0, i % n_wb),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((used, 8), lambda i: (0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((used, 8), F32),
+            interpret=interpret,
+        )
+        return call(traj)
+
+    return mom_fn
+
+
 def combine_block_moments(means, m2s, n_per: float):
     """Chan combine of equal-count per-block (mean, M2) pairs ->
     (mean, unbiased variance, count) of the full batch."""

@@ -250,6 +250,7 @@ def make_train_iteration_fused(cfg: SimConfig, hp: PPOParams,
         from ..models.normalize import (EPS as RMS_EPS, _rms_merge,
                                         rms_normalize, rms_update,
                                         rms_update_padded,
+                                        rms_update_padded_moments,
                                         rms_update_padded_tdw)
         from ..ops.gae import compute_gae
         OBS = C.OBS_SIZE
@@ -297,9 +298,14 @@ def make_train_iteration_fused(cfg: SimConfig, hp: PPOParams,
                 # GAE + side-array assembly as one Pallas pass; the
                 # side rows stay RAW and the update kernel normalizes
                 # them in place from four scalars (ops/fused_gae.py).
+                # The obs-normalizer moments reduce in one HBM pass
+                # over the trajectory too (make_obs_moments).
                 from ..ops import fused_gae as FG
                 gae_kernel = FG.make_fused_gae(
                     T, hp.num_envs, hp.gamma, hp.gae_lambda,
+                    interpret=rollout_interpret)
+                obs_mom_kernel = FG.make_obs_moments(
+                    T, hp.num_envs, FR.ROLL_OBS,
                     interpret=rollout_interpret)
 
             def update_policy_traj(agent, opt_state, traj, side, key,
@@ -393,8 +399,9 @@ def make_train_iteration_fused(cfg: SimConfig, hp: PPOParams,
                     vr_post.reshape(1, 1), am_b.reshape(1, 1),
                     ar.reshape(1, 1), jnp.zeros((1, 4), F32)],
                     axis=1).astype(F32)
-                obs_rms = rms_update_padded_tdw(
-                    agent.obs_rms, traj[:, :FR.ROLL_OBS, :])
+                om = obs_mom_kernel(traj)
+                obs_rms = rms_update_padded_moments(
+                    agent.obs_rms, om[:, 0], om[:, 1], om[0, 2])
                 agent = agent.replace(obs_rms=obs_rms,
                                       value_rms=value_rms)
                 agent, opt_state = update_policy_traj(

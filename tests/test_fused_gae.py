@@ -93,9 +93,40 @@ def test_fused_gae_matches_xla_pipeline():
     np.testing.assert_allclose(float(merged.count), float(ref.count))
 
 
+def test_obs_moments_matches_padded_tdw():
+    """make_obs_moments + rms_update_padded_moments == the two-pass
+    rms_update_padded_tdw over the same trajectory obs rows."""
+    from madrona_basketball_tpu.models.normalize import (
+        rms_update_padded_moments, rms_update_padded_tdw)
+
+    T, ROWS, W, used, full = 4, 16, 128, 11, 16
+    rng = np.random.RandomState(3)
+    traj = jnp.asarray(rng.uniform(-20, 20, (T, ROWS, W)), F32)
+    st = RMSState(mean=jnp.asarray(rng.uniform(-1, 1, (full,)), F32),
+                  var=jnp.asarray(rng.uniform(0.5, 2.0, (full,)), F32),
+                  count=jnp.asarray(300.0))
+
+    mom = FG.make_obs_moments(T, W, used, interpret=True)(traj)
+    got = rms_update_padded_moments(st, mom[:, 0], mom[:, 1], mom[0, 2])
+    want = rms_update_padded_tdw(st, traj[:, :used, :])
+
+    assert float(mom[0, 2]) == T * W
+    np.testing.assert_allclose(np.asarray(got.mean),
+                               np.asarray(want.mean), rtol=1e-5,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got.var),
+                               np.asarray(want.var), rtol=1e-4,
+                               atol=1e-4)
+    np.testing.assert_allclose(float(got.count), float(want.count))
+
+
 def test_fused_gae_trainer_matches_unfused():
     """Full flagship iteration with fused_gae=True == fused_gae=False
-    (same seed, interpret mode): parameters, normalizers and metrics."""
+    (same seed, interpret mode).  The pin is tight after ONE iteration
+    (observed max param delta ~1e-7 — pure f32 rounding); beyond that
+    the ~1-ulp normalization differences can flip Gumbel-max near-ties
+    and the trajectories themselves diverge, so the second iteration is
+    a finiteness/continuation check only."""
     from madrona_basketball_tpu.config import SimConfig
     from madrona_basketball_tpu.models.agent import init_agent
     from madrona_basketball_tpu.ppo.hparams import PPOParams
@@ -113,27 +144,34 @@ def test_fused_gae_trainer_matches_unfused():
                                            rollout_kernel=True,
                                            rollout_interpret=True,
                                            fused_gae=fg)
-        ms = []
-        for _ in range(2):
-            ts, m = it(ts)
-            ms.append(m)
-        results.append((ts, ms))
+        ts, m = it(ts)
+        results.append((ts, m, it))
 
-    (ts_a, ms_a), (ts_b, ms_b) = results
+    (ts_a, m_a, it_a), (ts_b, m_b, it_b) = results
     for a, b in zip(jax.tree.leaves(ts_a.agent.params),
                     jax.tree.leaves(ts_b.agent.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=2e-4, atol=2e-5)
+                                   atol=1e-5)
     np.testing.assert_allclose(np.asarray(ts_a.agent.value_rms.mean),
                                np.asarray(ts_b.agent.value_rms.mean),
-                               rtol=1e-5)
+                               rtol=1e-6)
     np.testing.assert_allclose(np.asarray(ts_a.agent.value_rms.var),
                                np.asarray(ts_b.agent.value_rms.var),
-                               rtol=1e-4)
+                               rtol=1e-5)
     np.testing.assert_allclose(np.asarray(ts_a.agent.obs_rms.mean),
                                np.asarray(ts_b.agent.obs_rms.mean),
-                               rtol=1e-5, atol=1e-6)
-    for m_a, m_b in zip(ms_a, ms_b):
-        for k in m_a:
-            np.testing.assert_allclose(float(m_a[k]), float(m_b[k]),
-                                       rtol=1e-3, atol=1e-4)
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(ts_a.agent.obs_rms.var),
+                               np.asarray(ts_b.agent.obs_rms.var),
+                               rtol=1e-4, atol=1e-4)
+    for k in m_a:
+        np.testing.assert_allclose(float(m_a[k]), float(m_b[k]),
+                                   rtol=1e-5, atol=1e-6)
+
+    # continuation: a second fused-GAE iteration stays finite and the
+    # normalizer count threads exactly like the unfused path
+    ts_b2, _ = it_b(ts_b)
+    for leaf in jax.tree.leaves(ts_b2.agent.params):
+        assert np.all(np.isfinite(np.asarray(leaf)))
+    assert float(ts_b2.agent.obs_rms.count) == \
+        float(ts_a.agent.obs_rms.count) + 8 * 16
