@@ -56,33 +56,50 @@ def pick_gae_block(W: int, cap: int = 1024) -> int:
 
 
 def make_fused_gae(T: int, W: int, gamma: float, lam: float,
+                   r_value: int, r_rew: int, r_done: int,
                    gb: int | None = None, interpret: bool = False):
-    """Build gae_fn(values_n (T, W), rewards (T, W), done (T, W),
-    next_value_n (1, W), vstats (1, VSTAT_COLS)) ->
-    (side (T, SIDE_ROWS, W), moments (n_blocks, 8)).
+    """Build gae_fn(traj (T, rows, W), carry (2, W), next_value_n
+    (1, W), vstats (1, VSTAT_COLS)) ->
+    (side (T, SIDE_ROWS, W), moments (n_blocks, 8), carry' (2, W),
+    ticks (n_blocks, T, 8)).
+
+    The value/reward/done rows stream straight out of the rollout
+    kernel's trajectory buffer via row-sliced BlockSpecs (r_value /
+    r_rew / r_done are the trajectory row indices — no XLA slice
+    copies).  Alongside GAE, the kernel also runs the per-world
+    episode-stats recursion (ppo/train._stats_step's curr/lens carry:
+    accumulate, sample at done, reset) and emits per-(block, tick)
+    partial sums so the windowed-meter recursion reduces to T scalar
+    steps in XLA.
 
     side rows: [value_un, advantage_raw, return_raw, 0...] (the
     raw_side contract of make_fused_update_phase).
     moments cols: [v_mean, v_M2, a_mean, a_M2, r_mean, r_M2, 0, 0]
     per block of T * gb samples (two-pass, so no catastrophic
-    cancellation on the value moments)."""
+    cancellation on the value moments).
+    carry rows: [curr_rewards; episode_lengths].
+    ticks cols: [done_count, sum(curr*done), sum(lens*done), 0...]."""
     gb = gb or pick_gae_block(W)
     assert W % gb == 0
     n_blocks = W // gb
     n_per = float(T * gb)
 
-    def kernel(v_ref, r_ref, d_ref, nv_ref, vs_ref, side_o, mom_o):
+    def kernel(v_ref, r_ref, d_ref, c_ref, nv_ref, vs_ref,
+               side_o, mom_o, carry_o, tick_o):
         vs = vs_ref[...]                        # (1, VSTAT_COLS)
         vmean = vs[0, 0]
         vsig = vs[0, 1]
-        v_un = vmean + vsig * jnp.clip(v_ref[...], -5.0, 5.0)   # (T, gb)
+        vals = v_ref[:, 0, :]                                   # (T, gb)
+        rew = r_ref[:, 0, :]
+        dn = d_ref[:, 0, :]
+        v_un = vmean + vsig * jnp.clip(vals, -5.0, 5.0)
         next_un = vmean + vsig * jnp.clip(nv_ref[...], -5.0, 5.0)
-        nd = 1.0 - d_ref[...]
+        nd = 1.0 - dn
         # reference boundary quirk: at t == T-1 the mask is
         # not_dones[T-1] paired with the bootstrap value
         nvs = jnp.concatenate([v_un[1:], next_un], axis=0)
         nnt = jnp.concatenate([nd[1:], nd[T - 1:T]], axis=0)
-        deltas = r_ref[...] + gamma * nvs * nnt - v_un
+        deltas = rew + gamma * nvs * nnt - v_un
 
         lastgae = jnp.zeros((1, gb), F32)
         adv_rows = [None] * T
@@ -106,16 +123,39 @@ def make_fused_gae(T: int, W: int, gamma: float, lam: float,
         mom_o[...] = jnp.concatenate(cells + [jnp.zeros((1, 2), F32)],
                                      axis=1)
 
-    def gae_fn(values_n, rewards, done, next_value_n, vstats):
+        # episode-stats forward recursion (_stats_step semantics:
+        # sample curr+rew and lens+1 at done, then reset)
+        curr = c_ref[0:1, :]
+        lens = c_ref[1:2, :]
+        cnt_c, rs_c, ls_c = [], [], []
+        for t in range(T):
+            d = dn[t:t + 1]
+            curr = curr + rew[t:t + 1]
+            lens = lens + 1.0
+            cnt_c.append(jnp.sum(d).reshape(1, 1))
+            rs_c.append(jnp.sum(curr * d).reshape(1, 1))
+            ls_c.append(jnp.sum(lens * d).reshape(1, 1))
+            curr = curr * (1.0 - d)
+            lens = lens * (1.0 - d)
+        carry_o[...] = jnp.concatenate([curr, lens], axis=0)
+        tick_o[...] = jnp.concatenate(
+            [jnp.concatenate(cnt_c, axis=0),
+             jnp.concatenate(rs_c, axis=0),
+             jnp.concatenate(ls_c, axis=0),
+             jnp.zeros((T, 5), F32)], axis=1)[None]
+
+    def gae_fn(traj, carry, next_value_n, vstats):
         call = pl.pallas_call(
             kernel,
             grid=(n_blocks,),
             in_specs=[
-                pl.BlockSpec((T, gb), lambda i: (0, i),
+                pl.BlockSpec((T, 1, gb), lambda i: (0, r_value, i),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((T, gb), lambda i: (0, i),
+                pl.BlockSpec((T, 1, gb), lambda i: (0, r_rew, i),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((T, gb), lambda i: (0, i),
+                pl.BlockSpec((T, 1, gb), lambda i: (0, r_done, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((2, gb), lambda i: (0, i),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, gb), lambda i: (0, i),
                              memory_space=pltpu.VMEM),
@@ -127,14 +167,20 @@ def make_fused_gae(T: int, W: int, gamma: float, lam: float,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, 8), lambda i: (i, 0),
                              memory_space=pltpu.VMEM),
+                pl.BlockSpec((2, gb), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, T, 8), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
             ],
             out_shape=[
                 jax.ShapeDtypeStruct((T, SIDE_ROWS, W), F32),
                 jax.ShapeDtypeStruct((n_blocks, 8), F32),
+                jax.ShapeDtypeStruct((2, W), F32),
+                jax.ShapeDtypeStruct((n_blocks, T, 8), F32),
             ],
             interpret=interpret,
         )
-        return call(values_n, rewards, done, next_value_n, vstats)
+        return call(traj, traj, traj, carry, next_value_n, vstats)
 
     gae_fn.gb = gb
     gae_fn.n_blocks = n_blocks

@@ -27,8 +27,8 @@ from ..models.agent import ActorCritic, AgentParams
 from ..ops import layout
 from ..ops.fused_step import fused_step_xla, make_fused_step
 from .hparams import PPOParams
-from .train import (EpisodeStats, _stats_step, init_stats, make_optimizer,
-                    make_update_fns)
+from .train import (EpisodeStats, _meter_update, _stats_step, init_stats,
+                    make_optimizer, make_update_fns)
 
 F32 = jnp.float32
 I32 = jnp.int32
@@ -303,6 +303,7 @@ def make_train_iteration_fused(cfg: SimConfig, hp: PPOParams,
                 from ..ops import fused_gae as FG
                 gae_kernel = FG.make_fused_gae(
                     T, hp.num_envs, hp.gamma, hp.gae_lambda,
+                    FR.R_VALUE, FR.R_REW, FR.R_DONE,
                     interpret=rollout_interpret)
                 obs_mom_kernel = FG.make_obs_moments(
                     T, hp.num_envs, FR.ROLL_OBS,
@@ -344,15 +345,16 @@ def make_train_iteration_fused(cfg: SimConfig, hp: PPOParams,
                 mats = mats + FR.pack_policy(ts.frozen)
             sf, si, obs, traj = rk(make_rng_arg(ks), sf, si, obs, *mats)
 
-            values = traj[:, FR.R_VALUE, :]
-            rewards = traj[:, FR.R_REW, :]
-            done = traj[:, FR.R_DONE, :]
-            not_dones = 1.0 - done
-            stats, _ = jax.lax.scan(
-                lambda st, rd: (_stats_step(st, rd[0], rd[1]), None),
-                ts.stats, (rewards, done))
             next_value = agent_lib.evaluate(net, ts.agent,
                                             obs[ti_lo:ti_lo + OBS].T)
+            if not fused_gae:
+                values = traj[:, FR.R_VALUE, :]
+                rewards = traj[:, FR.R_REW, :]
+                done = traj[:, FR.R_DONE, :]
+                not_dones = 1.0 - done
+                stats, _ = jax.lax.scan(
+                    lambda st, rd: (_stats_step(st, rd[0], rd[1]), None),
+                    ts.stats, (rewards, done))
 
             # ---- advantages on (T, W) trajectory rows, then the
             # update-phase columns are written back into the trajectory's
@@ -378,8 +380,31 @@ def make_train_iteration_fused(cfg: SimConfig, hp: PPOParams,
                     jnp.sqrt(vrm.var[0] + RMS_EPS).reshape(1, 1),
                     jnp.zeros((1, FG.VSTAT_COLS - 2), F32)],
                     axis=1).astype(F32)
-                side, moments = gae_kernel(values, rewards, done,
-                                           next_value[None, :], vstats)
+                carry = jnp.stack([ts.stats.curr_rewards,
+                                   ts.stats.episode_lengths])
+                side, moments, carry_out, ticks = gae_kernel(
+                    traj, carry, next_value[None, :], vstats)
+                # windowed meters: per-tick sums arrive pre-reduced per
+                # block; the sequential recursion runs on scalars only
+                per_t = jnp.sum(ticks, axis=0)              # (T, 8)
+
+                def meter_body(st, row):
+                    r_mean, r_size = _meter_update(
+                        st[0], st[1], row[1], row[0])
+                    l_mean, l_size = _meter_update(
+                        st[2], st[3], row[2], row[0])
+                    return (r_mean, r_size, l_mean, l_size), None
+
+                (r_mean, r_size, l_mean, l_size), _ = jax.lax.scan(
+                    meter_body,
+                    (ts.stats.mean_reward, ts.stats.reward_size,
+                     ts.stats.mean_length, ts.stats.length_size),
+                    per_t)
+                stats = EpisodeStats(
+                    curr_rewards=carry_out[0],
+                    episode_lengths=carry_out[1],
+                    mean_reward=r_mean, reward_size=r_size,
+                    mean_length=l_mean, length_size=l_size)
                 n_per = float(T * gae_kernel.gb)
                 vm_b, vv_b, nN = FG.combine_block_moments(
                     moments[:, 0], moments[:, 1], n_per)

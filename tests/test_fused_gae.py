@@ -40,15 +40,22 @@ def _unnorm(vrm, x):
 def test_fused_gae_matches_xla_pipeline():
     T, W = 8, 256
     gamma, lam = 0.998, 0.95
+    ROWS, RV, RR, RD = 16, 3, 5, 7
     values_n, rewards, done, next_value_n, vrm = _mk_inputs(T, W)
+    rng = np.random.RandomState(9)
+    traj = jnp.asarray(rng.uniform(-4, 4, (T, ROWS, W)), F32)
+    traj = traj.at[:, RV, :].set(values_n)
+    traj = traj.at[:, RR, :].set(rewards)
+    traj = traj.at[:, RD, :].set(done)
+    carry = jnp.asarray(rng.uniform(0, 50, (2, W)), F32)
 
-    gk = FG.make_fused_gae(T, W, gamma, lam, interpret=True)
+    gk = FG.make_fused_gae(T, W, gamma, lam, RV, RR, RD, interpret=True)
     vstats = jnp.concatenate(
         [vrm.mean[0].reshape(1, 1),
          jnp.sqrt(vrm.var[0] + EPS).reshape(1, 1),
          jnp.zeros((1, FG.VSTAT_COLS - 2), F32)], axis=1)
-    side, moments = gk(values_n, rewards, done, next_value_n[None, :],
-                       vstats)
+    side, moments, carry_out, ticks = gk(traj, carry,
+                                         next_value_n[None, :], vstats)
 
     # ---- reference pipeline ----
     values_un = _unnorm(vrm, values_n)
@@ -91,6 +98,43 @@ def test_fused_gae_matches_xla_pipeline():
     np.testing.assert_allclose(np.asarray(merged.var),
                                np.asarray(ref.var), rtol=1e-4)
     np.testing.assert_allclose(float(merged.count), float(ref.count))
+
+    # ---- episode stats: carry + per-tick partials == _stats_step scan --
+    from madrona_basketball_tpu.ppo.train import (EpisodeStats,
+                                                  _meter_update,
+                                                  _stats_step)
+    st0 = EpisodeStats(curr_rewards=carry[0], episode_lengths=carry[1],
+                       mean_reward=jnp.asarray(-3.0),
+                       reward_size=jnp.asarray(40.0),
+                       mean_length=jnp.asarray(120.0),
+                       length_size=jnp.asarray(40.0))
+    want_st, _ = jax.lax.scan(
+        lambda st, rd: (_stats_step(st, rd[0], rd[1]), None),
+        st0, (rewards, done))
+    per_t = jnp.sum(ticks, axis=0)
+
+    def meter_body(st, row):
+        r_mean, r_size = _meter_update(st[0], st[1], row[1], row[0])
+        l_mean, l_size = _meter_update(st[2], st[3], row[2], row[0])
+        return (r_mean, r_size, l_mean, l_size), None
+
+    (r_mean, r_size, l_mean, l_size), _ = jax.lax.scan(
+        meter_body, (st0.mean_reward, st0.reward_size,
+                     st0.mean_length, st0.length_size), per_t)
+    np.testing.assert_allclose(np.asarray(carry_out[0]),
+                               np.asarray(want_st.curr_rewards),
+                               rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(carry_out[1]),
+                               np.asarray(want_st.episode_lengths),
+                               rtol=1e-6)
+    np.testing.assert_allclose(float(r_mean),
+                               float(want_st.mean_reward), rtol=1e-5)
+    np.testing.assert_allclose(float(r_size),
+                               float(want_st.reward_size), rtol=1e-6)
+    np.testing.assert_allclose(float(l_mean),
+                               float(want_st.mean_length), rtol=1e-5)
+    np.testing.assert_allclose(float(l_size),
+                               float(want_st.length_size), rtol=1e-6)
 
 
 def test_obs_moments_matches_padded_tdw():
