@@ -78,8 +78,8 @@ def time_iter(ti, ts, label, W, T, reps=20):
 
 
 def main():
-    stages = set(sys.argv[1:]) or {"conv", "ab", "soak8k", "soak65k",
-                                   "scale", "jax512"}
+    stages = set(sys.argv[1:]) or {"conv", "ab", "gaeconv", "soak8k",
+                                   "soak65k", "scale", "jax512"}
     from madrona_basketball_tpu.utils.profiling import enable_compile_cache
     enable_compile_cache()
     from madrona_basketball_tpu.config import SimConfig
@@ -94,7 +94,7 @@ def main():
     SEED = 2
     CH = 100
 
-    def make(W, fused_grads=True, use_frozen=False):
+    def make(W, fused_grads=True, use_frozen=False, fused_gae=False):
         # Learning-curve stages run the canonical task (defender trainee,
         # opponent driven by the in-sim hardCodeDefense — the reference's
         # shape when training without a frozen checkpoint, and the task the
@@ -105,7 +105,8 @@ def main():
         ts = init_fused_train_state(cfg, hp, net, jax.random.PRNGKey(SEED))
         ti = make_train_iteration_fused(cfg, hp, net, backend="pallas",
                                         rollout_kernel=True,
-                                        fused_grads=fused_grads)
+                                        fused_grads=fused_grads,
+                                        fused_gae=fused_gae)
         return hp, ts, ti
 
     if "conv" in stages or "soak8k" in stages:
@@ -122,6 +123,16 @@ def main():
         chunk = make_train_chunk(ti, CH)
         run_chunked(ts, chunk, 600, "conv-gather", 8192,
                     hp.num_rollout_steps, CH)
+
+    if "gaeconv" in stages:
+        # learning-curve validation of the fused-GAE iteration
+        # (GAE + stats + obs moments in Pallas, normalization inside
+        # the update kernel) — same seed/task as conv-fused
+        hp, ts, ti = make(8192, fused_gae=True)
+        chunk = make_train_chunk(ti, CH)
+        ts = run_chunked(ts, chunk, 600, "conv-gae", 8192,
+                         hp.num_rollout_steps, CH)
+        time_iter(ti, ts, "iter-gae-8192", 8192, hp.num_rollout_steps)
 
     if "soak65k" in stages:
         hp, ts, ti = make(65536, use_frozen=True)
