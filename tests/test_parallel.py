@@ -93,6 +93,40 @@ def test_sharded_fused_trainer_matches_unsharded():
                                float(m_sh["adv_abs_mean"]), atol=1e-4)
 
 
+def test_sharded_fused_gae_trainer_matches_unsharded():
+    """The fused-GAE flagship iteration (rollout kernel + GAE/stats/obs
+    Pallas passes + raw-side update kernel) under a data mesh == the
+    single-device run.  The Pallas calls have no partitioning rule, so
+    GSPMD gathers the sharded trajectory and replicates them — same
+    deliberate pattern as the update kernel (train_fused.py note)."""
+    from madrona_basketball_tpu.parallel.mesh import shard_fused_train_state
+    from madrona_basketball_tpu.ppo import train_fused as TF
+
+    hp = PPOParams(num_envs=16, num_rollout_steps=4, num_minibatches=2,
+                   update_epochs=1, trainee_idx=1)
+    net, _ = init_agent(jax.random.PRNGKey(0))
+
+    def make(mesh):
+        ts = TF.init_fused_train_state(CFG, hp, net, jax.random.PRNGKey(3))
+        if mesh is not None:
+            ts = shard_fused_train_state(ts, mesh)
+        it = TF.make_train_iteration_fused(CFG, hp, net, backend="xla",
+                                           mesh=mesh, rollout_kernel=True,
+                                           rollout_interpret=True,
+                                           fused_gae=True)
+        return it(ts)
+
+    ref, m_ref = make(None)
+    out, m_sh = make(make_mesh())
+    for a, b in zip(jax.tree.leaves(ref.agent.params),
+                    jax.tree.leaves(out.agent.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+    np.testing.assert_allclose(float(m_ref["adv_abs_mean"]),
+                               float(m_sh["adv_abs_mean"]), atol=1e-4)
+    np.testing.assert_allclose(float(m_ref["mean_reward"]),
+                               float(m_sh["mean_reward"]), atol=1e-4)
+
+
 def test_dryrun_multichip_entry():
     import sys
     sys.path.insert(0, "/root/repo")
