@@ -185,7 +185,8 @@ def sample_rows(logits, gumbel):
 def make_fused_rollout(cfg: SimConfig, num_worlds: int, n_steps: int,
                        trainee_idx: int, use_frozen: bool,
                        block: int = 1024, interpret: bool = False,
-                       external_noise: bool = False):
+                       external_noise: bool = False,
+                       obs_moments: bool = False):
     """Build the T-step policy-in-the-loop rollout kernel.
 
     Returns
@@ -227,7 +228,11 @@ def make_fused_rollout(cfg: SimConfig, num_worlds: int, n_steps: int,
         sf_in, si_in, obs0_in = refs[1:4]
         tp = tuple(r[...] for r in refs[4:9])
         fp = tuple(r[...] for r in refs[9:14]) if use_frozen else None
-        sf_out, si_out, obs_out, traj = refs[4 + n_param:]
+        outs = refs[4 + n_param:]
+        if obs_moments:
+            sf_out, si_out, obs_out, traj, mom_o = outs
+        else:
+            sf_out, si_out, obs_out, traj = outs
         b = pl.program_id(0)
         t = pl.program_id(1)
 
@@ -272,6 +277,37 @@ def make_fused_rollout(cfg: SimConfig, num_worlds: int, n_steps: int,
                 si_out[f_rows[j]] = f_actions[j]
 
         traj[0, 0:ROLL_OBS, :] = obs_t[0:ROLL_OBS]
+        if obs_moments:
+            # fold this tile's per-feature (mean, M2) into the running
+            # obs-normalizer moments (Chan incremental merge) while the
+            # obs rows are still in VMEM — replaces the post-rollout
+            # full-trajectory reduction (ops/fused_gae.make_obs_moments)
+            # on the single-shard path
+            xo = obs_t[0:ROLL_OBS]
+            m_b = jnp.sum(xo, axis=1, keepdims=True) * (1.0 / blk)
+            m2_b = jnp.sum((xo - m_b) * (xo - m_b), axis=1,
+                           keepdims=True)
+            first = (b == 0) & (t == 0)
+
+            @pl.when(first)
+            def _():
+                mom_o[...] = jnp.concatenate(
+                    [m_b, m2_b, jnp.full((ROLL_OBS, 1), float(blk), F32),
+                     jnp.zeros((ROLL_OBS, 5), F32)], axis=1)
+
+            @pl.when(jnp.logical_not(first))
+            def _():
+                acc = mom_o[...]
+                m_run = acc[:, 0:1]
+                m2_run = acc[:, 1:2]
+                n_run = acc[:, 2:3]
+                n_new = n_run + float(blk)
+                delta = m_b - m_run
+                mom_o[...] = jnp.concatenate(
+                    [m_run + delta * (float(blk) / n_new),
+                     m2_run + m2_b + delta * delta *
+                     (n_run * float(blk) / n_new),
+                     n_new, jnp.zeros((ROLL_OBS, 5), F32)], axis=1)
         for j in range(6):
             traj[0, R_ACT + j] = actions[j].astype(F32)
         traj[0, R_LOGP] = logp
@@ -325,6 +361,9 @@ def make_fused_rollout(cfg: SimConfig, num_worlds: int, n_steps: int,
         jax.ShapeDtypeStruct((N_OBS_ROWS, num_worlds), F32),
         jax.ShapeDtypeStruct((n_steps, ROLL_ROWS, num_worlds), F32),
     ]
+    if obs_moments:
+        out_specs.append(const_spec((ROLL_OBS, 8)))
+        out_shape.append(jax.ShapeDtypeStruct((ROLL_OBS, 8), F32))
 
     call = pl.pallas_call(
         kernel,

@@ -210,11 +210,18 @@ def make_train_iteration_fused(cfg: SimConfig, hp: PPOParams,
         # Interpret mode (CPU dryrun) has no pltpu PRNG lowering; feed the
         # same per-tick noise through the kernel's external-noise input
         # instead (same program structure and shardings).
+        # On the single-shard path the rollout kernel also accumulates
+        # the obs-normalizer moments in place (the obs tiles are already
+        # in VMEM); under a mesh the per-shard moments would need an
+        # extra combine, so the sharded fused-GAE path keeps the
+        # separate one-pass moments kernel over the gathered trajectory.
+        rk_obs_moments = fused_gae and mesh is None
         rk = FR.make_fused_rollout(cfg, worlds_per_shard, T,
                                    trainee_idx=ti, use_frozen=hp.use_frozen,
                                    block=min(block, 1024),
                                    interpret=rollout_interpret,
-                                   external_noise=rollout_interpret)
+                                   external_noise=rollout_interpret,
+                                   obs_moments=rk_obs_moments)
         if mesh is not None:
             from jax.sharding import PartitionSpec as P
             from jax import shard_map
@@ -305,9 +312,9 @@ def make_train_iteration_fused(cfg: SimConfig, hp: PPOParams,
                     T, hp.num_envs, hp.gamma, hp.gae_lambda,
                     FR.R_VALUE, FR.R_REW, FR.R_DONE,
                     interpret=rollout_interpret)
-                obs_mom_kernel = FG.make_obs_moments(
-                    T, hp.num_envs, FR.ROLL_OBS,
-                    interpret=rollout_interpret)
+                obs_mom_kernel = None if rk_obs_moments else \
+                    FG.make_obs_moments(T, hp.num_envs, FR.ROLL_OBS,
+                                        interpret=rollout_interpret)
 
             def update_policy_traj(agent, opt_state, traj, side, key,
                                    ustats=None):
@@ -343,7 +350,11 @@ def make_train_iteration_fused(cfg: SimConfig, hp: PPOParams,
             mats = FR.pack_policy(ts.agent)
             if hp.use_frozen:
                 mats = mats + FR.pack_policy(ts.frozen)
-            sf, si, obs, traj = rk(make_rng_arg(ks), sf, si, obs, *mats)
+            rk_out = rk(make_rng_arg(ks), sf, si, obs, *mats)
+            if rk_obs_moments:
+                sf, si, obs, traj, rk_om = rk_out
+            else:
+                sf, si, obs, traj = rk_out
 
             next_value = agent_lib.evaluate(net, ts.agent,
                                             obs[ti_lo:ti_lo + OBS].T)
@@ -424,7 +435,7 @@ def make_train_iteration_fused(cfg: SimConfig, hp: PPOParams,
                     vr_post.reshape(1, 1), am_b.reshape(1, 1),
                     ar.reshape(1, 1), jnp.zeros((1, 4), F32)],
                     axis=1).astype(F32)
-                om = obs_mom_kernel(traj)
+                om = rk_om if rk_obs_moments else obs_mom_kernel(traj)
                 obs_rms = rms_update_padded_moments(
                     agent.obs_rms, om[:, 0], om[:, 1], om[0, 2])
                 agent = agent.replace(obs_rms=obs_rms,

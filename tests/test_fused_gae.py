@@ -164,6 +164,51 @@ def test_obs_moments_matches_padded_tdw():
     np.testing.assert_allclose(float(got.count), float(want.count))
 
 
+def test_rollout_kernel_obs_moments():
+    """The rollout kernel's in-place obs-moment accumulation
+    (obs_moments=True) == two-pass moments over the trajectory obs rows
+    it wrote."""
+    from madrona_basketball_tpu import engine
+    from madrona_basketball_tpu.config import SimConfig
+    from madrona_basketball_tpu.engine_fused import noise_to_rows
+    from madrona_basketball_tpu.models import agent as agent_lib
+    from madrona_basketball_tpu.ops import layout
+    from madrona_basketball_tpu.ops.fused_rollout import (
+        EXT_NOISE_CHUNK, ROLL_OBS, make_fused_rollout, pack_policy)
+    from madrona_basketball_tpu.ops.fused_step import fused_step_xla
+
+    cfg = SimConfig()
+    worlds, T = 256, 3
+    net, agent = agent_lib.init_agent(jax.random.PRNGKey(1))
+    s = engine.init_batch(cfg, jax.random.PRNGKey(4), worlds)
+    sf, si = layout.pack(s)
+    rng = np.random.RandomState(8)
+    pre = noise_to_rows(
+        jnp.asarray(rng.uniform(-1, 1, (worlds, 2, 3)), F32),
+        jnp.asarray(np.concatenate(
+            [rng.uniform(-1, 1, (worlds, 2)),
+             rng.uniform(0, 1, (worlds, 1))], axis=1), F32))
+    sf, si, obs0 = fused_step_xla(cfg, sf, si, pre)
+
+    rollout = make_fused_rollout(cfg, worlds, T, trainee_idx=1,
+                                 use_frozen=False, block=128,
+                                 interpret=True, external_noise=True,
+                                 obs_moments=True)
+    noise = jnp.asarray(
+        rng.uniform(0, 1, (T * EXT_NOISE_CHUNK, worlds)), F32)
+    _, _, _, traj, mom = rollout(noise, sf, si, obs0,
+                                 *pack_policy(agent))
+
+    xo = np.asarray(traj[:, :ROLL_OBS, :])          # (T, used, W)
+    mean = xo.mean(axis=(0, 2))
+    m2 = ((xo - mean[None, :, None]) ** 2).sum(axis=(0, 2))
+    assert float(mom[0, 2]) == T * worlds
+    np.testing.assert_allclose(np.asarray(mom[:, 0]), mean, rtol=1e-5,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(mom[:, 1]), m2, rtol=1e-4,
+                               atol=1e-3)
+
+
 def test_fused_gae_trainer_matches_unfused():
     """Full flagship iteration with fused_gae=True == fused_gae=False
     (same seed, interpret mode).  The pin is tight after ONE iteration
