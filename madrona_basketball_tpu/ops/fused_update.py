@@ -384,7 +384,7 @@ def make_fused_minibatch_grad_prefetch(hp, D: int, T: int, W: int,
                             memory_space=pltpu.VMEM)
 
     def grad_fn(idx, traj, side, nrm, w1t, w2t, wht, bias):
-        rows = traj.shape[1]
+        rows = D + K + 1  # obs + actions + logp; the rest never read
         gs = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
@@ -592,7 +592,10 @@ def make_fused_update_phase(hp, D: int, T: int, W: int, wb: int,
             ustats_specs = []
             ustats_args = ()
         assert len(mats) == 12
-        rows = traj.shape[1]
+        # the kernel touches only rows 0..D+K (obs, actions, logp) of
+        # each trajectory block — v_old/adv/ret ride in `side` — so the
+        # DMA block stops there instead of pulling all ROLL_ROWS
+        rows = D + K + 1
         gs = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=grid,
