@@ -109,22 +109,42 @@ def main():
                                         fused_gae=fused_gae)
         return hp, ts, ti
 
-    if "conv" in stages or "soak8k" in stages:
+    failures = []
+
+    def stage(*names):
+        """Isolate each stage: a compile/runtime failure in one must not
+        take down the rest of the evidence suite (they share this
+        process to share the remote-compile warmup)."""
+        def deco(fn):
+            if stages & set(names):
+                try:
+                    fn()
+                except Exception as e:            # noqa: BLE001
+                    failures.append(names[0])
+                    print(f"[round3-tpu] STAGE {names[0]} FAILED: {e!r}",
+                          flush=True)
+            return fn
+        return deco
+
+    @stage("conv", "soak8k")
+    def _conv():
         hp, ts, ti = make(8192)
         chunk = make_train_chunk(ti, CH)
         ts = run_chunked(ts, chunk, 600, "conv-fused", 8192,
                          hp.num_rollout_steps, CH)
         if "soak8k" in stages:
-            ts = run_chunked(ts, chunk, 9400, "soak-8192-cont", 8192,
-                             hp.num_rollout_steps, CH)
+            run_chunked(ts, chunk, 9400, "soak-8192-cont", 8192,
+                        hp.num_rollout_steps, CH)
 
-    if "ab" in stages:
+    @stage("ab")
+    def _ab():
         hp, ts, ti = make(8192, fused_grads=False)
         chunk = make_train_chunk(ti, CH)
         run_chunked(ts, chunk, 600, "conv-gather", 8192,
                     hp.num_rollout_steps, CH)
 
-    if "gaeconv" in stages:
+    @stage("gaeconv")
+    def _gaeconv():
         # learning-curve validation of the fused-GAE iteration
         # (GAE + stats + obs moments in Pallas, normalization inside
         # the update kernel) — same seed/task as conv-fused
@@ -134,25 +154,29 @@ def main():
                          hp.num_rollout_steps, CH)
         time_iter(ti, ts, "iter-gae-8192", 8192, hp.num_rollout_steps)
 
-    if "soak65k" in stages:
+    @stage("soak65k")
+    def _soak65k():
         hp, ts, ti = make(65536, use_frozen=True)
         ts = time_iter(ti, ts, "iter-65536", 65536, hp.num_rollout_steps)
         chunk = make_train_chunk(ti, CH)
         run_chunked(ts, chunk, 2000, "soak-65536", 65536,
                     hp.num_rollout_steps, CH)
 
-    if "jax512" in stages:
+    @stage("jax512")
+    def _jax512():
         hp, ts, ti = make(512)
         chunk = make_train_chunk(ti, CH)
         run_chunked(ts, chunk, 2000, "jax-512", 512,
                     hp.num_rollout_steps, CH)
 
-    if "scale" in stages:
+    @stage("scale")
+    def _scale():
         for W in (16384, 32768):
             hp, ts, ti = make(W, use_frozen=True)
             time_iter(ti, ts, f"iter-{W}", W, hp.num_rollout_steps)
 
-    print("[round3-tpu] all stages complete", flush=True)
+    print(f"[round3-tpu] all stages complete; failures: "
+          f"{failures or 'none'}", flush=True)
 
 
 if __name__ == "__main__":
