@@ -135,13 +135,16 @@ def main():
     # ---- fused-GAE variant of the full iteration (ops/fused_gae.py:
     # GAE + side assembly in one Pallas pass, normalization inside the
     # update kernel) ----
-    ti_fg = make_train_iteration_fused(cfg, hp, net, backend="pallas",
-                                       rollout_kernel=True,
-                                       fused_gae=True)
-    ts_fg = init_fused_train_state(cfg, hp, net, jax.random.PRNGKey(1))
-    t_fg = bench(lambda s: ti_fg(s)[0], (ts_fg,))
-    print(f"full_iteration_fused_gae: {t_fg:.2f} ms "
-          f"({W * T / t_fg / 1e3:.1f}M train steps/s)", flush=True)
+    try:
+        ti_fg = make_train_iteration_fused(cfg, hp, net, backend="pallas",
+                                           rollout_kernel=True,
+                                           fused_gae=True)
+        ts_fg = init_fused_train_state(cfg, hp, net, jax.random.PRNGKey(1))
+        t_fg = bench(lambda s: ti_fg(s)[0], (ts_fg,))
+        print(f"full_iteration_fused_gae: {t_fg:.2f} ms "
+              f"({W * T / t_fg / 1e3:.1f}M train steps/s)", flush=True)
+    except Exception as e:  # noqa: BLE001 — first hardware run of these kernels
+        print(f"full_iteration_fused_gae: FAILED {e!r}", flush=True)
 
 
 if __name__ == "__main__":
