@@ -322,13 +322,17 @@ def main(argv=None):
         rollout_kernel = args.rollout_kernel
         if rollout_kernel is None:
             rollout_kernel = backend == "fused" and not args.viewer
+        if args.fused_gae and not (rollout_kernel and args.fused_grads):
+            raise SystemExit(
+                "--fused-gae requires the rollout kernel and fused "
+                "gradients (drop --no-rollout-kernel/--no-fused-grads/"
+                "--viewer, or drop --fused-gae)")
         train_iteration = make_train_iteration_fused(
             cfg, hp, net,
             backend="pallas" if backend == "fused" else "xla",
             mesh=mesh, rollout_kernel=rollout_kernel,
             fused_grads=args.fused_grads,
-            fused_gae=args.fused_gae and rollout_kernel and
-            args.fused_grads)
+            fused_gae=args.fused_gae)
         if mesh is not None:
             from .parallel.mesh import shard_fused_train_state
             ts = shard_fused_train_state(ts, mesh)

@@ -187,6 +187,38 @@ def make_fused_gae(T: int, W: int, gamma: float, lam: float,
     return gae_fn
 
 
+def chan_fold(out_ref, x, n_tile: float, first):
+    """Fold one (rows, n_tile) tile's per-row moments into the running
+    (rows, 8) [mean, M2, n, 0, ...] accumulator ref via Chan's
+    incremental merge.  `first` is a traced bool predicate selecting
+    the initialization branch; `n_tile` is the static tile width.
+    Shared by make_obs_moments below and the rollout kernel's in-loop
+    accumulator (ops/fused_rollout.py) so the merge numerics live in
+    exactly one place."""
+    rows = x.shape[0]
+    m_b = jnp.sum(x, axis=1, keepdims=True) * (1.0 / n_tile)
+    m2_b = jnp.sum((x - m_b) * (x - m_b), axis=1, keepdims=True)
+
+    @pl.when(first)
+    def _():
+        out_ref[...] = jnp.concatenate(
+            [m_b, m2_b, jnp.full((rows, 1), n_tile, F32),
+             jnp.zeros((rows, 5), F32)], axis=1)
+
+    @pl.when(jnp.logical_not(first))
+    def _():
+        acc = out_ref[...]
+        m_run = acc[:, 0:1]
+        m2_run = acc[:, 1:2]
+        n_run = acc[:, 2:3]
+        n_new = n_run + n_tile
+        delta = m_b - m_run
+        out_ref[...] = jnp.concatenate(
+            [m_run + delta * (n_tile / n_new),
+             m2_run + m2_b + delta * delta * (n_run * n_tile / n_new),
+             n_new, jnp.zeros((rows, 5), F32)], axis=1)
+
+
 def make_obs_moments(T: int, W: int, used: int, gb: int | None = None,
                      interpret: bool = False):
     """One-pass per-feature obs moments over the trajectory buffer.
@@ -209,28 +241,7 @@ def make_obs_moments(T: int, W: int, used: int, gb: int | None = None,
 
     def kernel(x_ref, out_o):
         i = pl.program_id(0)
-        x = x_ref[0]                                  # (used, gb)
-        m_b = jnp.sum(x, axis=1, keepdims=True) * (1.0 / fgb)
-        m2_b = jnp.sum((x - m_b) * (x - m_b), axis=1, keepdims=True)
-
-        @pl.when(i == 0)
-        def _():
-            out_o[...] = jnp.concatenate(
-                [m_b, m2_b, jnp.full((used, 1), fgb, F32),
-                 jnp.zeros((used, 5), F32)], axis=1)
-
-        @pl.when(i != 0)
-        def _():
-            acc = out_o[...]
-            m_run = acc[:, 0:1]
-            m2_run = acc[:, 1:2]
-            n_run = acc[:, 2:3]
-            n_new = n_run + fgb
-            delta = m_b - m_run
-            out_o[...] = jnp.concatenate(
-                [m_run + delta * (fgb / n_new),
-                 m2_run + m2_b + delta * delta * (n_run * fgb / n_new),
-                 n_new, jnp.zeros((used, 5), F32)], axis=1)
+        chan_fold(out_o, x_ref[0], fgb, i == 0)
 
     def mom_fn(traj):
         call = pl.pallas_call(

@@ -42,6 +42,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .. import constants as C
 from ..config import SimConfig
+from .fused_gae import chan_fold
 from .fused_step import _bits_to_unit, _load_dicts, _noise_dict, \
     _store_rows, pick_block, step_fields
 from .layout import (F_IDX, I_IDX, N_F32_ROWS, N_I32_ROWS, N_NOISE_ROWS,
@@ -283,31 +284,8 @@ def make_fused_rollout(cfg: SimConfig, num_worlds: int, n_steps: int,
             # obs rows are still in VMEM — replaces the post-rollout
             # full-trajectory reduction (ops/fused_gae.make_obs_moments)
             # on the single-shard path
-            xo = obs_t[0:ROLL_OBS]
-            m_b = jnp.sum(xo, axis=1, keepdims=True) * (1.0 / blk)
-            m2_b = jnp.sum((xo - m_b) * (xo - m_b), axis=1,
-                           keepdims=True)
-            first = (b == 0) & (t == 0)
-
-            @pl.when(first)
-            def _():
-                mom_o[...] = jnp.concatenate(
-                    [m_b, m2_b, jnp.full((ROLL_OBS, 1), float(blk), F32),
-                     jnp.zeros((ROLL_OBS, 5), F32)], axis=1)
-
-            @pl.when(jnp.logical_not(first))
-            def _():
-                acc = mom_o[...]
-                m_run = acc[:, 0:1]
-                m2_run = acc[:, 1:2]
-                n_run = acc[:, 2:3]
-                n_new = n_run + float(blk)
-                delta = m_b - m_run
-                mom_o[...] = jnp.concatenate(
-                    [m_run + delta * (float(blk) / n_new),
-                     m2_run + m2_b + delta * delta *
-                     (n_run * float(blk) / n_new),
-                     n_new, jnp.zeros((ROLL_OBS, 5), F32)], axis=1)
+            chan_fold(mom_o, obs_t[0:ROLL_OBS], float(blk),
+                      (b == 0) & (t == 0))
         for j in range(6):
             traj[0, R_ACT + j] = actions[j].astype(F32)
         traj[0, R_LOGP] = logp

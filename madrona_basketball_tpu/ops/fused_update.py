@@ -384,7 +384,10 @@ def make_fused_minibatch_grad_prefetch(hp, D: int, T: int, W: int,
                             memory_space=pltpu.VMEM)
 
     def grad_fn(idx, traj, side, nrm, w1t, w2t, wht, bias):
-        rows = D + K + 1  # obs + actions + logp; the rest never read
+        # obs + actions + logp; the rest never read.  Rounded up to a
+        # full 8-row f32 sublane tile so the second-minor block dim
+        # stays Mosaic-aligned (the kernel slices only rows 0..D+K).
+        rows = -(-(D + K + 1) // 8) * 8
         gs = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
@@ -594,8 +597,10 @@ def make_fused_update_phase(hp, D: int, T: int, W: int, wb: int,
         assert len(mats) == 12
         # the kernel touches only rows 0..D+K (obs, actions, logp) of
         # each trajectory block — v_old/adv/ret ride in `side` — so the
-        # DMA block stops there instead of pulling all ROLL_ROWS
-        rows = D + K + 1
+        # DMA block stops there instead of pulling all ROLL_ROWS.
+        # Rounded up to a full 8-row f32 sublane tile for Mosaic
+        # alignment (the kernel slices only rows 0..D+K).
+        rows = -(-(D + K + 1) // 8) * 8
         gs = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=grid,

@@ -116,12 +116,14 @@ def main():
         take down the rest of the evidence suite (they share this
         process to share the remote-compile warmup)."""
         def deco(fn):
-            if stages & set(names):
+            requested = stages & set(names)
+            if requested:
+                label = "+".join(sorted(requested))
                 try:
                     fn()
                 except Exception as e:            # noqa: BLE001
-                    failures.append(names[0])
-                    print(f"[round3-tpu] STAGE {names[0]} FAILED: {e!r}",
+                    failures.append(label)
+                    print(f"[round3-tpu] STAGE {label} FAILED: {e!r}",
                           flush=True)
             return fn
         return deco
@@ -177,6 +179,8 @@ def main():
 
     print(f"[round3-tpu] all stages complete; failures: "
           f"{failures or 'none'}", flush=True)
+    if failures:
+        sys.exit(1)
 
 
 if __name__ == "__main__":
