@@ -264,3 +264,41 @@ def test_fused_gae_trainer_matches_unfused():
         assert np.all(np.isfinite(np.asarray(leaf)))
     assert float(ts_b2.agent.obs_rms.count) == \
         float(ts_a.agent.obs_rms.count) + 8 * 16
+
+
+def test_chan_fold_matches_numpy_moments():
+    """The shared chan_fold helper (used by make_obs_moments and the
+    rollout kernel's in-loop accumulator) reproduces exact per-row
+    mean / M2 / n over any tiling of the data: folding 13 tiles of
+    width 32 equals one-shot numpy moments over all 416 columns."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    rows, n_tiles, tile = 9, 13, 32
+    rng = np.random.RandomState(11)
+    x = rng.uniform(-50, 50, (rows, n_tiles * tile)).astype(np.float32)
+
+    def kernel(x_ref, out_o):
+        i = pl.program_id(0)
+        FG.chan_fold(out_o, x_ref[...], float(tile), i == 0)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[pl.BlockSpec((rows, tile), lambda i: (0, i),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((rows, 8), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rows, 8), F32),
+        interpret=True,
+    )(jnp.asarray(x))
+
+    want_mean = x.mean(axis=1)
+    want_m2 = ((x - want_mean[:, None]) ** 2).sum(axis=1)
+    np.testing.assert_allclose(np.asarray(out[:, 0]), want_mean,
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out[:, 1]), want_m2,
+                               rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(out[:, 2]),
+                               np.full(rows, n_tiles * tile, np.float32))
+    assert not np.any(np.asarray(out[:, 3:]))
