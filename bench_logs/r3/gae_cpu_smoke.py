@@ -29,8 +29,10 @@ def main():
     from madrona_basketball_tpu.ppo.train_fused import (
         init_fused_train_state, make_train_iteration_fused)
 
-    W = int(sys.argv[1]) if len(sys.argv) > 1 else 128
-    iters = int(sys.argv[2]) if len(sys.argv) > 2 else 400
+    fused_gae = "--no-fused-gae" not in sys.argv
+    argv = [a for a in sys.argv[1:] if not a.startswith("--")]
+    W = int(argv[0]) if len(argv) > 0 else 128
+    iters = int(argv[1]) if len(argv) > 1 else 400
 
     cfg = SimConfig()
     hp = PPOParams(num_envs=W, use_frozen=False)
@@ -38,7 +40,8 @@ def main():
     ts = init_fused_train_state(cfg, hp, net, jax.random.PRNGKey(2))
     ti = jax.jit(make_train_iteration_fused(
         cfg, hp, net, backend="xla", rollout_kernel=True,
-        rollout_interpret=True, fused_gae=True))
+        rollout_interpret=True, fused_gae=fused_gae))
+    print(f"fused_gae={fused_gae} W={W} iters={iters}", flush=True)
 
     t0 = time.perf_counter()
     for i in range(1, iters + 1):
