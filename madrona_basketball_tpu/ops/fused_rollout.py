@@ -187,7 +187,8 @@ def make_fused_rollout(cfg: SimConfig, num_worlds: int, n_steps: int,
                        trainee_idx: int, use_frozen: bool,
                        block: int = 1024, interpret: bool = False,
                        external_noise: bool = False,
-                       obs_moments: bool = False):
+                       obs_moments: bool = False,
+                       max_block: int = 1024):
     """Build the T-step policy-in-the-loop rollout kernel.
 
     Returns
@@ -213,7 +214,11 @@ def make_fused_rollout(cfg: SimConfig, num_worlds: int, n_steps: int,
     the rollout starts (the reset pulse), matching scripts/ppo.py:64-67.
     """
     assert n_steps >= 1
-    blk = pick_block(num_worlds, block, max_block=1024)
+    # Default 1024-lane cap keeps VMEM comfortable (387 state rows +
+    # a double-buffered 128-row trajectory window ~= 2.6 MB/KiB-block);
+    # raise max_block to sweep larger blocks (fewer grid steps, more
+    # VMEM — ~11 MB at 4096, still under the 16 MB/core budget).
+    blk = pick_block(num_worlds, block, max_block=max_block)
     grid = (num_worlds // blk, n_steps)
     ti_lo = trainee_idx * OBS
     fi_lo = (1 - trainee_idx) * OBS
@@ -355,6 +360,207 @@ def make_fused_rollout(cfg: SimConfig, num_worlds: int, n_steps: int,
     def rollout(rng, sf, si, obs0, *policy_mats):
         assert len(policy_mats) == n_param
         return call(rng, sf, si, obs0, *policy_mats)
+
+    return rollout
+
+
+def make_fused_rollout_tiled(cfg: SimConfig, num_worlds: int, n_steps: int,
+                             trainee_idx: int, use_frozen: bool,
+                             block: int = 1024, interpret: bool = False,
+                             external_noise: bool = False):
+    """EXPERIMENTAL 2-D-tiled variant of the rollout kernel
+    (docs/rollout_kernel_tiling.md "first prototype").
+
+    The 1-D kernel runs its sim + noise segments on (rows, blk) world
+    rows — 1 of 8 sublanes per f32 vreg.  Here every state field is an
+    (8, blk_c) tile (the multistep kernel's layout, ~5x on chained VPU
+    math), with world w at (sub, col) = (w // cols, w % cols), cols =
+    W / 8 — a FREE reshape at the XLA buffer level, so the flat outputs
+    are world-indexed identically to the 1-D kernel's.
+
+    Only the policy/sampling segment stays 1-D (the MLP wants worlds
+    lane-contiguous for the MXU): per tick the trainee (and frozen) obs
+    tiles are relaid to a (OBS, blk) VMEM scratch via 8 sublane slices,
+    and the sampled actions/logp/value are relaid back per sublane
+    group.  Whether the ~270-row-per-tick relayout eats the sim-segment
+    win is exactly what bench_rollout_blk.py measures on hardware.
+
+    Semantics match make_fused_rollout on identical external noise
+    (tests/test_rollout_kernel.py); the on-chip PRNG path draws a
+    DIFFERENT (equally distributed) stream — within the SURVEY §2.3
+    distribution-parity contract.  No obs_moments support (prototype;
+    the fused-GAE path keeps the 1-D kernel).
+    """
+    assert n_steps >= 1
+    assert num_worlds % 1024 == 0, \
+        "tiled rollout needs num_worlds % 1024 == 0 (cols % 128 == 0)"
+    cols = num_worlds // 8
+    blk_c = pick_block(cols, max(block // 8, 128), max_block=512)
+    blk = 8 * blk_c
+    grid = (cols // blk_c, n_steps)
+    ti_lo = trainee_idx * OBS
+    fi_lo = (1 - trainee_idx) * OBS
+    t_rows = [I_IDX[f"a{trainee_idx}.{n}"] for n in _ACTION_NAMES]
+    f_rows = [I_IDX[f"a{1 - trainee_idx}.{n}"] for n in _ACTION_NAMES]
+    rew_row = F_IDX[f"a{trainee_idx}.reward"]
+    done_row = F_IDX[f"a{trainee_idx}.done"]
+    n_param = 5 * (2 if use_frozen else 1)
+    U_PAD = ((N_LOGITS + 7) // 8) * 8  # 24-row uniform scratches
+
+    def kernel(*refs):
+        rng_ref = refs[0]
+        sf_in, si_in, obs0_in = refs[1:4]
+        tp = tuple(r[...] for r in refs[4:9])
+        fp = tuple(r[...] for r in refs[9:14]) if use_frozen else None
+        sf_out, si_out, obs_out, traj = refs[4 + n_param:8 + n_param]
+        obs1d = refs[8 + n_param]      # (OBS, blk) policy-input scratch
+        u_t1, u_f1 = refs[9 + n_param], refs[10 + n_param]  # (U_PAD, blk)
+        b = pl.program_id(0)
+        t = pl.program_id(1)
+
+        @pl.when(t == 0)
+        def _():
+            sf_out[...] = sf_in[...]
+            si_out[...] = si_in[...]
+            obs_out[...] = obs0_in[...]
+
+        if external_noise:
+            chunk = rng_ref[...]  # (EXT_NOISE_CHUNK, 8, blk_c)
+            sim_noise = [chunk[r] for r in range(N_NOISE_ROWS)]
+            # policy uniforms ride tiled in the chunk; relay to 1-D
+            for s in range(8):
+                u_t1[0:N_LOGITS, pl.ds(s * blk_c, blk_c)] = \
+                    chunk[EXT_TRAINEE_U:EXT_TRAINEE_U + N_LOGITS, s, :]
+                u_f1[0:N_LOGITS, pl.ds(s * blk_c, blk_c)] = \
+                    chunk[EXT_FROZEN_U:EXT_FROZEN_U + N_LOGITS, s, :]
+            u_t = u_t1[0:N_LOGITS, :]
+            u_f = u_f1[0:N_LOGITS, :]
+        else:
+            pltpu.prng_seed(rng_ref[0, 0],
+                            b * TICK_STRIDE + rng_ref[0, 1] + t)
+            # sim noise drawn TILED (the shape step_fields consumes),
+            # policy uniforms drawn 1-D (the shape sampling consumes) —
+            # a different, equally distributed stream than the 1-D
+            # kernel's single (n_draw, blk) draw.
+            su = _bits_to_unit(pltpu.bitcast(
+                pltpu.prng_random_bits((N_NOISE_ROWS, 8, blk_c)),
+                jnp.uint32))
+            sim_noise = [2.0 * su[r] - 1.0
+                         for r in range(N_NOISE_ROWS - 1)]
+            sim_noise.append(su[N_NOISE_ROWS - 1])
+            u = _bits_to_unit(pltpu.bitcast(
+                pltpu.prng_random_bits((2 * N_LOGITS, blk)), jnp.uint32))
+            u_t = u[0:N_LOGITS]
+            u_f = u[N_LOGITS:]
+
+        # ---- policy on the PRE-TICK obs: tiled -> 1-D relayout ----
+        for s in range(8):
+            obs1d[:, pl.ds(s * blk_c, blk_c)] = \
+                obs_out[ti_lo:ti_lo + OBS, s, :]
+        obs_t = obs1d[...]
+        logits, value = policy_forward_rows(obs_t, *tp)
+        actions, logp = sample_rows(logits, gumbel_from_uniform(u_t))
+        for j in range(6):
+            for s in range(8):
+                si_out[t_rows[j], s, :] = \
+                    actions[j][s * blk_c:(s + 1) * blk_c]
+        if use_frozen:
+            for s in range(8):
+                obs1d[:, pl.ds(s * blk_c, blk_c)] = \
+                    obs_out[fi_lo:fi_lo + OBS, s, :]
+            f_logits, _ = policy_forward_rows(obs1d[...], *fp)
+            f_actions, _ = sample_rows(f_logits, gumbel_from_uniform(u_f))
+            for j in range(6):
+                for s in range(8):
+                    si_out[f_rows[j], s, :] = \
+                        f_actions[j][s * blk_c:(s + 1) * blk_c]
+
+        # ---- trajectory rows (tiled block; obs copy needs no relayout,
+        # the 1-D policy outputs relay back per sublane group) ----
+        traj[0, 0:ROLL_OBS] = obs_out[ti_lo:ti_lo + ROLL_OBS]
+        for j in range(6):
+            af = actions[j].astype(F32)
+            for s in range(8):
+                traj[0, R_ACT + j, s, :] = af[s * blk_c:(s + 1) * blk_c]
+        for s in range(8):
+            traj[0, R_LOGP, s, :] = logp[s * blk_c:(s + 1) * blk_c]
+            traj[0, R_VALUE, s, :] = value[s * blk_c:(s + 1) * blk_c]
+        for r in range(R_DONE + 1, ROLL_ROWS):
+            traj[0, r] = jnp.zeros((8, blk_c), F32)
+
+        # ---- sim tick on (8, blk_c) tiles ----
+        sf = [sf_out[r] for r in range(N_F32_ROWS)]
+        si = [si_out[r] for r in range(N_I32_ROWS)]
+        ag, ball, game, hoops = _load_dicts(sf, si)
+        ag, ball, game, hoops, obs = step_fields(
+            cfg, ag, ball, game, hoops, _noise_dict(sim_noise),
+            compute_obs=True)
+        sf2, si2 = _store_rows(ag, ball, game, hoops)
+        for r in range(N_F32_ROWS):
+            sf_out[r] = sf2[r]
+        for r in range(N_I32_ROWS):
+            si_out[r] = si2[r]
+        for r in range(N_OBS_ROWS):
+            obs_out[r] = obs[r]
+        traj[0, R_REW] = sf2[rew_row]
+        traj[0, R_DONE] = sf2[done_row]
+
+    def state_spec(rows):
+        return pl.BlockSpec((rows, 8, blk_c), lambda b, t: (0, 0, b),
+                            memory_space=pltpu.VMEM)
+
+    def const_spec(shape):
+        return pl.BlockSpec(shape, lambda b, t: (0, 0),
+                            memory_space=pltpu.VMEM)
+
+    rng_spec = (pl.BlockSpec((EXT_NOISE_CHUNK, 8, blk_c),
+                             lambda b, t: (t, 0, b),
+                             memory_space=pltpu.VMEM)
+                if external_noise
+                else pl.BlockSpec(memory_space=pltpu.SMEM))
+    h = 32
+    policy_specs = [const_spec((OBS, 2)), const_spec((h, OBS)),
+                    const_spec((h, h)), const_spec((N_LOGITS + 1, h)),
+                    const_spec((h, 8))]
+    in_specs = ([rng_spec, state_spec(N_F32_ROWS), state_spec(N_I32_ROWS),
+                 state_spec(N_OBS_ROWS)] +
+                policy_specs * (2 if use_frozen else 1))
+    out_specs = [state_spec(N_F32_ROWS), state_spec(N_I32_ROWS),
+                 state_spec(N_OBS_ROWS),
+                 pl.BlockSpec((1, ROLL_ROWS, 8, blk_c),
+                              lambda b, t: (t, 0, 0, b),
+                              memory_space=pltpu.VMEM)]
+    out_shape = [
+        jax.ShapeDtypeStruct((N_F32_ROWS, 8, cols), F32),
+        jax.ShapeDtypeStruct((N_I32_ROWS, 8, cols), I32),
+        jax.ShapeDtypeStruct((N_OBS_ROWS, 8, cols), F32),
+        jax.ShapeDtypeStruct((n_steps, ROLL_ROWS, 8, cols), F32),
+    ]
+    call = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.VMEM((OBS, blk), F32),
+                        pltpu.VMEM((U_PAD, blk), F32),
+                        pltpu.VMEM((U_PAD, blk), F32)],
+        interpret=interpret,
+    )
+
+    W = num_worlds
+
+    def rollout(rng, sf, si, obs0, *policy_mats):
+        assert len(policy_mats) == n_param
+        if external_noise:
+            rng = rng.reshape(n_steps * EXT_NOISE_CHUNK, 8, cols)
+        sf2, si2, obs2, traj = call(
+            rng, sf.reshape(N_F32_ROWS, 8, cols),
+            si.reshape(N_I32_ROWS, 8, cols),
+            obs0.reshape(N_OBS_ROWS, 8, cols), *policy_mats)
+        return (sf2.reshape(N_F32_ROWS, W), si2.reshape(N_I32_ROWS, W),
+                obs2.reshape(N_OBS_ROWS, W),
+                traj.reshape(n_steps, ROLL_ROWS, W))
 
     return rollout
 

@@ -80,7 +80,8 @@ def make_train_iteration_fused(cfg: SimConfig, hp: PPOParams,
                                rollout_kernel: bool = False,
                                rollout_interpret: bool = False,
                                fused_grads: bool = True,
-                               fused_gae: bool = False):
+                               fused_gae: bool = False,
+                               rollout_block: int | None = None):
     """`mesh`: optional jax.sharding.Mesh with a 'data' axis.  When given,
     the sim kernel runs under shard_map with worlds split across devices
     (a Pallas custom call does not auto-partition); everything else (policy,
@@ -216,12 +217,17 @@ def make_train_iteration_fused(cfg: SimConfig, hp: PPOParams,
         # extra combine, so the sharded fused-GAE path keeps the
         # separate one-pass moments kernel over the gathered trajectory.
         rk_obs_moments = fused_gae and mesh is None
+        # rollout_block overrides the default 1024-lane cap (the VMEM-
+        # safe default); larger blocks mean fewer grid steps per launch
+        # — see bench_rollout_blk.py for the measured sweep.
         rk = FR.make_fused_rollout(cfg, worlds_per_shard, T,
                                    trainee_idx=ti, use_frozen=hp.use_frozen,
-                                   block=min(block, 1024),
+                                   block=(rollout_block if rollout_block
+                                          else min(block, 1024)),
                                    interpret=rollout_interpret,
                                    external_noise=rollout_interpret,
-                                   obs_moments=rk_obs_moments)
+                                   obs_moments=rk_obs_moments,
+                                   max_block=(rollout_block or 1024))
         if mesh is not None:
             from jax.sharding import PartitionSpec as P
             from jax import shard_map

@@ -149,6 +149,99 @@ def test_rollout_kernel_matches_xla_no_frozen():
     _run_kernel_vs_xla(use_frozen=False)
 
 
+def test_rollout_kernel_block_invariance():
+    """blk=128 vs blk=256 on the same external noise: the world-block
+    size only changes grid partitioning (every computation is
+    per-world-column), so the rollout_block sweep (bench_rollout_blk.py,
+    max_block override) cannot change training semantics.  Integer
+    outputs must match exactly; floats to 1-ulp scale — the CPU
+    interpreter compiles each block width as its own XLA program, whose
+    FMA/vectorization choices differ in the last bit (measured max
+    |delta| 1.2e-7 on the obs array)."""
+    cfg = SimConfig()
+    worlds, T, ti = 256, 2, 1
+    _, agent = agent_lib.init_agent(jax.random.PRNGKey(11))
+    _, frozen = agent_lib.init_agent(jax.random.PRNGKey(12))
+
+    s = engine.init_batch(cfg, jax.random.PRNGKey(5), worlds)
+    sf, si = layout.pack(s)
+    rng = np.random.RandomState(33)
+    shot, reset = _rand_noise(rng, worlds)
+    pre = noise_to_rows(jnp.asarray(shot), jnp.asarray(reset))
+    sf, si, obs0 = fused_step_xla(cfg, sf, si, pre)
+
+    sim_chunks = []
+    for _ in range(T):
+        shot, reset = _rand_noise(rng, worlds)
+        sim_chunks.append(noise_to_rows(jnp.asarray(shot),
+                                        jnp.asarray(reset)))
+    t_u = jnp.asarray(rng.uniform(0.0, 1.0, (T, N_LOGITS, worlds)), F32)
+    f_u = jnp.asarray(rng.uniform(0.0, 1.0, (T, N_LOGITS, worlds)), F32)
+    noise = pack_rollout_noise(sim_chunks, t_u, f_u)
+    mats = pack_policy(agent) + pack_policy(frozen)
+
+    outs = []
+    for blk in (128, 256):
+        rollout = make_fused_rollout(cfg, worlds, T, trainee_idx=ti,
+                                     use_frozen=True, block=blk,
+                                     max_block=blk, interpret=True,
+                                     external_noise=True)
+        outs.append(rollout(noise, sf, si, obs0, *mats))
+    for a, b in zip(outs[0], outs[1]):
+        a, b = np.asarray(a), np.asarray(b)
+        if a.dtype == np.int32:
+            np.testing.assert_array_equal(a, b)
+        else:
+            np.testing.assert_allclose(a, b, atol=2e-6)
+
+
+def test_rollout_kernel_tiled_matches_1d():
+    """The 2-D-tiled prototype (make_fused_rollout_tiled) == the 1-D
+    kernel on identical external noise: the tiling is a pure layout
+    permutation (world w at (w // cols, w % cols), free reshape at the
+    buffer level) plus in-kernel relayouts at the policy boundary, so
+    every per-world result must agree — ints exactly, floats to 1-ulp
+    scale (separately compiled XLA programs in interpret mode)."""
+    from madrona_basketball_tpu.ops.fused_rollout import \
+        make_fused_rollout_tiled
+    cfg = SimConfig()
+    worlds, T, ti = 1024, 2, 1
+    _, agent = agent_lib.init_agent(jax.random.PRNGKey(11))
+    _, frozen = agent_lib.init_agent(jax.random.PRNGKey(12))
+
+    s = engine.init_batch(cfg, jax.random.PRNGKey(5), worlds)
+    sf, si = layout.pack(s)
+    rng = np.random.RandomState(44)
+    shot, reset = _rand_noise(rng, worlds)
+    pre = noise_to_rows(jnp.asarray(shot), jnp.asarray(reset))
+    sf, si, obs0 = fused_step_xla(cfg, sf, si, pre)
+
+    sim_chunks = []
+    for _ in range(T):
+        shot, reset = _rand_noise(rng, worlds)
+        sim_chunks.append(noise_to_rows(jnp.asarray(shot),
+                                        jnp.asarray(reset)))
+    t_u = jnp.asarray(rng.uniform(0.0, 1.0, (T, N_LOGITS, worlds)), F32)
+    f_u = jnp.asarray(rng.uniform(0.0, 1.0, (T, N_LOGITS, worlds)), F32)
+    noise = pack_rollout_noise(sim_chunks, t_u, f_u)
+    mats = pack_policy(agent) + pack_policy(frozen)
+
+    r1d = make_fused_rollout(cfg, worlds, T, trainee_idx=ti,
+                             use_frozen=True, block=1024,
+                             interpret=True, external_noise=True)
+    r2d = make_fused_rollout_tiled(cfg, worlds, T, trainee_idx=ti,
+                                   use_frozen=True, block=1024,
+                                   interpret=True, external_noise=True)
+    out1 = r1d(noise, sf, si, obs0, *mats)
+    out2 = r2d(noise, sf, si, obs0, *mats)
+    for a, b in zip(out1, out2):
+        a, b = np.asarray(a), np.asarray(b)
+        if a.dtype == np.int32:
+            np.testing.assert_array_equal(a, b)
+        else:
+            np.testing.assert_allclose(a, b, atol=2e-6)
+
+
 def test_policy_forward_rows_matches_flax():
     """Feature-major in-kernel policy math == models.agent.forward's
     normalize + net.apply, to f32 tolerance."""
