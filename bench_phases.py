@@ -13,25 +13,17 @@ Usage: python bench_phases.py [num_envs]
 """
 
 import sys
-import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 
+from madrona_basketball_tpu.utils.benching import bench_ms
+
+
 def bench(fn, args, fetch, reps=20, tries=3):
-    out = fn(*args)
-    fetch(out)
-    best = float("inf")
-    for _ in range(tries):
-        t0 = time.perf_counter()
-        o = out
-        for _ in range(reps):
-            o = fn(*args)
-        fetch(o)
-        best = min(best, (time.perf_counter() - t0) / reps)
-    return best * 1e3
+    return bench_ms(fn, args, reps=reps, tries=tries, fetch=fetch)
 
 
 def main():

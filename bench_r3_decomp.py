@@ -8,26 +8,12 @@ Run on the real TPU from the repo root:  python bench_r3_decomp.py [W]
 """
 
 import sys
-import time
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 
-def bench(fn, args, reps=20, tries=3):
-    out = fn(*args)
-    leaf = jax.tree_util.tree_leaves(out)[0]
-    np.asarray(jax.device_get(leaf.reshape(-1)[:1]))
-    best = float("inf")
-    for _ in range(tries):
-        t0 = time.perf_counter()
-        for _ in range(reps):
-            out = fn(*args)
-        leaf = jax.tree_util.tree_leaves(out)[0]
-        np.asarray(jax.device_get(leaf.reshape(-1)[:1]))
-        best = min(best, (time.perf_counter() - t0) / reps)
-    return best * 1e3
+from madrona_basketball_tpu.utils.benching import bench_ms as bench
 
 
 def main():

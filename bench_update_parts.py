@@ -1,19 +1,9 @@
 """Decompose the minibatch-update phase: shuffle gathers vs grad steps.
 Usage: python bench_update_parts.py [num_envs]"""
-import sys, time
-import jax, jax.numpy as jnp, numpy as np
+import sys
+import jax, jax.numpy as jnp
 
-def bench(fn, args, reps=20, tries=3):
-    out = fn(*args)
-    np.asarray(jax.device_get(jax.tree_util.tree_leaves(out)[0].reshape(-1)[:1]))
-    best = float("inf")
-    for _ in range(tries):
-        t0 = time.perf_counter()
-        for _ in range(reps):
-            out = fn(*args)
-        np.asarray(jax.device_get(jax.tree_util.tree_leaves(out)[0].reshape(-1)[:1]))
-        best = min(best, (time.perf_counter() - t0) / reps)
-    return best * 1e3
+from madrona_basketball_tpu.utils.benching import bench_ms as bench
 
 def main():
     from madrona_basketball_tpu.utils.profiling import enable_compile_cache

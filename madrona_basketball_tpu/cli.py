@@ -430,7 +430,12 @@ def main(argv=None):
                 print(f"Model {model_name} saved at iteration {iteration}")
         timer.end("iter")
 
-    _teardown_viewer(viewer_process)
+    if viewer_process is not None:
+        # Clean exit: tear down once, deterministically, and drop the
+        # crash-path atexit hook so it doesn't run a second time.
+        import atexit
+        atexit.unregister(_teardown_viewer)
+        _teardown_viewer(viewer_process)
     if writer is not None:
         writer.close()
     return ts

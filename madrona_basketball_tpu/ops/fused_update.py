@@ -148,7 +148,7 @@ def _mm_rc(a, b):
                                preferred_element_type=F32)
 
 
-def _block_grads(hp, D, inv_mb, obs, act, lp_old, v_old, adv, ret,
+def _block_grads(hp, inv_mb, obs, act, lp_old, v_old, adv, ret,
                  nrm, w1t, w2t, wht, bias, seg, segT, base_col,
                  dw1_o, dw2_o, dwh_o, dbias_o):
     """Forward + manual backward for ONE feature-major block; accumulates
@@ -268,7 +268,7 @@ def make_fused_minibatch_grad(hp, D: int, mb_size: int,
             dbias_o[...] = jnp.zeros_like(dbias_o)
 
         ft = feat[...].T                      # (F, R) feature-major
-        _block_grads(hp, D, inv_mb,
+        _block_grads(hp, inv_mb,
                      ft[0:D], ft[D:D + K], ft[D + K], ft[D + K + 1],
                      ft[D + K + 2], ft[D + K + 3],
                      nrm_r[...], w1t_r[...], w2t_r[...], wht_r[...],
@@ -369,7 +369,7 @@ def make_fused_minibatch_grad_prefetch(hp, D: int, T: int, W: int,
 
         blk = traj_blk[0]                     # (ROWS, wb) feature-major
         sd = side_blk[0]                      # (SIDE_ROWS, wb)
-        _block_grads(hp, D, inv_mb,
+        _block_grads(hp, inv_mb,
                      blk[0:D], blk[D:D + K], blk[D + K],
                      sd[SIDE_VALUE], sd[SIDE_ADV], sd[SIDE_RET],
                      nrm_r[...], w1t_r[...], w2t_r[...], wht_r[...],
@@ -549,7 +549,7 @@ def make_fused_update_phase(hp, D: int, T: int, W: int, wb: int,
             v_n = sd[SIDE_VALUE]
             a_n = sd[SIDE_ADV]
             r_n = sd[SIDE_RET]
-        _block_grads(hp, D, inv_mb,
+        _block_grads(hp, inv_mb,
                      blk[0:D], blk[D:D + K], blk[D + K],
                      v_n, a_n, r_n,
                      nrm_r[...], w1_o[...], w2_o[...], wh_o[...],

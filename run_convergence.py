@@ -13,10 +13,10 @@ A/B-ing the shuffle-granularity deviation with everything else equal.
 """
 
 import sys
-import time
 
 import jax
-import numpy as np
+
+from run_round3_tpu import run_chunked
 
 
 def main():
@@ -51,24 +51,9 @@ def main():
                                     fused_grads=fused_grads)
     CH = 100
     chunk = make_train_chunk(ti, CH)
-    t0 = time.perf_counter()
-    done = 0
-    while done < iters:
-        ts, stacked = chunk(ts)
-        done += CH
-        r = float(np.asarray(jax.device_get(
-            stacked["mean_reward"][-1])))
-        ln = float(np.asarray(jax.device_get(
-            stacked["mean_episode_length"][-1])))
-        print(f"[conv seed={seed} ub={(ub or 'auto') if fused_grads else 'OFF'}] iter {done}: "
-              f"reward {r:.1f} len {ln:.1f} "
-              f"({time.perf_counter() - t0:.0f}s)", flush=True)
-    leaves = jax.tree.leaves(ts.agent.params)
-    finite = all(np.isfinite(np.asarray(jax.device_get(x))).all()
-                 for x in leaves)
-    fps = done * W * hp.num_rollout_steps / (time.perf_counter() - t0)
-    print(f"[conv seed={seed}] finished {done} iters, params finite: "
-          f"{finite}, sustained {fps / 1e6:.1f}M steps/s incl. compile")
+    label = (f"conv seed={seed} "
+             f"ub={(ub or 'auto') if fused_grads else 'OFF'}")
+    run_chunked(ts, chunk, iters, label, W, hp.num_rollout_steps, CH)
 
 
 if __name__ == "__main__":

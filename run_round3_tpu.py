@@ -3,27 +3,28 @@ expensive axon remote compiles are paid once per distinct jit signature
 and everything lands in one log.
 
 Stages (each prints immediately; all fetch-synced):
-  1. conv-fused:   600 iters @ 8192, rollout kernel + one-launch fused
-                   update phase (default update_block) — cliff-crossing
-                   learning-curve evidence for the round-3 shuffle
-                   granularity (PARITY.md deviation #1).
-  2. conv-gather:  600 iters @ 8192 with fused_grads=False (the round-2
-                   materialized-gather update, shuffle_block=8) — the
-                   A/B arm, same seed, everything else equal.
-  3. soak-8192:    continue arm 1's trainer to 10 000 total iterations;
-                   assert finite params + report the plateau
-                   (VERDICT round-2 item 9a).
-  4. soak-65536:   2 000 iterations @ 65536 envs (4.3 B env-steps) with
-                   the same trainer; finite params + plateau
-                   (VERDICT round-2 item 9b) + ms/iter at that scale.
-  5. scale:        ms/iter at 16384 and 32768 for the scaling table.
-  6. jax512:       2 000 iterations @ 512 envs, seed 2 — the JAX arm of
-                   the self-contained torch-vs-JAX convergence overlay
-                   (VERDICT round-2 item 7; torch arm:
-                   crosscheck/torch_ppo.py --num-envs 512
-                   --num-iterations 2000 --seed 2).
+  conv:    600 iters @ 8192, rollout kernel + one-launch fused update
+           phase (default update_block) — cliff-crossing learning-curve
+           evidence for the round-3 shuffle granularity
+           (PARITY.md deviation #1).
+  ab:      600 iters @ 8192 with fused_grads=False (the round-2
+           materialized-gather update, shuffle_block=8) — the A/B arm,
+           same seed, everything else equal.
+  gaeconv: 600 iters @ 8192 with the fused-GAE iteration, same
+           seed/task as conv, plus its ms/iter.
+  soak8k:  continue conv's trainer to 10 000 total iterations; assert
+           finite params + report the plateau (VERDICT round-2 item 9a).
+  soak65k: 2 000 iterations @ 65536 envs (4.3 B env-steps) with the
+           same trainer; finite params + plateau (VERDICT round-2
+           item 9b) + ms/iter at that scale.
+  scale:   ms/iter at 16384 and 32768 for the scaling table.
+  jax512:  2 000 iterations @ 512 envs, seed 2 — the JAX arm of the
+           self-contained torch-vs-JAX convergence overlay (VERDICT
+           round-2 item 7; torch arm: crosscheck/torch_ppo.py
+           --num-envs 512 --num-iterations 2000 --seed 2).
 
-Usage: python run_round3_tpu.py [stage ...]   (default: all)
+Usage: python run_round3_tpu.py [stage ...]   (default: all; unknown
+stage names are an error, NOT a silent no-op)
 """
 
 import sys
@@ -77,9 +78,16 @@ def time_iter(ti, ts, label, W, T, reps=20):
     return ts
 
 
+ALL_STAGES = {"conv", "ab", "gaeconv", "soak8k", "soak65k", "scale",
+              "jax512"}
+
+
 def main():
-    stages = set(sys.argv[1:]) or {"conv", "ab", "gaeconv", "soak8k",
-                                   "soak65k", "scale", "jax512"}
+    stages = set(sys.argv[1:]) or set(ALL_STAGES)
+    unknown = stages - ALL_STAGES
+    if unknown:
+        sys.exit(f"unknown stage(s) {sorted(unknown)}; "
+                 f"valid: {sorted(ALL_STAGES)}")
     from madrona_basketball_tpu.utils.profiling import enable_compile_cache
     enable_compile_cache()
     from madrona_basketball_tpu.config import SimConfig
