@@ -49,6 +49,33 @@ def _best_of(tries, run):
     return best
 
 
+def _init_devices_or_die(timeout_s: float = 300.0):
+    """jax.devices() with a watchdog: when the remote-TPU tunnel is down,
+    device init HANGS (it does not error), which would hang the whole
+    benchmark harness.  Fail fast with a diagnostic instead."""
+    import os
+    import threading
+
+    # The image's site hook re-asserts the remote-device platform over
+    # JAX_PLATFORMS; when the caller asked for the host platform (CPU
+    # smoke runs), honor it via the config knob, which wins.
+    if "cpu" in os.environ.get("JAX_PLATFORMS", ""):
+        jax.config.update("jax_platforms", "cpu")
+    done = threading.Event()
+
+    def watchdog():
+        if not done.wait(timeout_s):
+            print(f"bench.py: jax device init did not complete within "
+                  f"{timeout_s:.0f}s — device tunnel down?  Aborting.",
+                  file=sys.stderr, flush=True)
+            os._exit(3)
+
+    threading.Thread(target=watchdog, daemon=True).start()
+    devices = jax.devices()
+    done.set()
+    return devices
+
+
 def main(num_worlds: int = 8192, n_steps: int = 1000):
     from madrona_basketball_tpu.utils.profiling import enable_compile_cache
     enable_compile_cache()
@@ -62,7 +89,7 @@ def main(num_worlds: int = 8192, n_steps: int = 1000):
                                                        make_fused_step)
 
     cfg = DEFAULT_CONFIG
-    on_tpu = jax.devices()[0].platform == "tpu"
+    on_tpu = _init_devices_or_die()[0].platform == "tpu"
 
     def fetch(x):
         np.asarray(jax.device_get(x[:1, :1]))
