@@ -97,6 +97,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="epoch shuffles permute blocks of N consecutive "
                         "samples (TPU gathers are row-bound); 1 = the "
                         "reference's exact sample-granularity shuffle")
+    p.add_argument("--rollout-block", type=int, default=0,
+                   help="rollout-kernel trainer only: worlds per kernel "
+                        "block (0 = the VMEM-safe 1024 default; larger "
+                        "values trade VMEM for fewer grid steps — see "
+                        "bench_rollout_blk.py for the measured sweep)")
     p.add_argument("--iters-per-dispatch", type=int, default=0,
                    help="fuse N training iterations into one device "
                         "dispatch (lax.scan) to amortize host round-trip "
@@ -332,7 +337,8 @@ def main(argv=None):
             backend="pallas" if backend == "fused" else "xla",
             mesh=mesh, rollout_kernel=rollout_kernel,
             fused_grads=args.fused_grads,
-            fused_gae=args.fused_gae)
+            fused_gae=args.fused_gae,
+            rollout_block=args.rollout_block or None)
         if mesh is not None:
             from .parallel.mesh import shard_fused_train_state
             ts = shard_fused_train_state(ts, mesh)

@@ -195,7 +195,7 @@ def test_rollout_kernel_block_invariance():
             np.testing.assert_allclose(a, b, atol=2e-6)
 
 
-def test_rollout_kernel_tiled_matches_1d():
+def _run_tiled_vs_1d(use_frozen):
     """The 2-D-tiled prototype (make_fused_rollout_tiled) == the 1-D
     kernel on identical external noise: the tiling is a pure layout
     permutation (world w at (w // cols, w % cols), free reshape at the
@@ -224,13 +224,14 @@ def test_rollout_kernel_tiled_matches_1d():
     t_u = jnp.asarray(rng.uniform(0.0, 1.0, (T, N_LOGITS, worlds)), F32)
     f_u = jnp.asarray(rng.uniform(0.0, 1.0, (T, N_LOGITS, worlds)), F32)
     noise = pack_rollout_noise(sim_chunks, t_u, f_u)
-    mats = pack_policy(agent) + pack_policy(frozen)
+    mats = pack_policy(agent) + (pack_policy(frozen) if use_frozen
+                                 else ())
 
     r1d = make_fused_rollout(cfg, worlds, T, trainee_idx=ti,
-                             use_frozen=True, block=1024,
+                             use_frozen=use_frozen, block=1024,
                              interpret=True, external_noise=True)
     r2d = make_fused_rollout_tiled(cfg, worlds, T, trainee_idx=ti,
-                                   use_frozen=True, block=1024,
+                                   use_frozen=use_frozen, block=1024,
                                    interpret=True, external_noise=True)
     out1 = r1d(noise, sf, si, obs0, *mats)
     out2 = r2d(noise, sf, si, obs0, *mats)
@@ -240,6 +241,16 @@ def test_rollout_kernel_tiled_matches_1d():
             np.testing.assert_array_equal(a, b)
         else:
             np.testing.assert_allclose(a, b, atol=2e-6)
+
+
+def test_rollout_kernel_tiled_matches_1d():
+    _run_tiled_vs_1d(use_frozen=True)
+
+
+def test_rollout_kernel_tiled_matches_1d_no_frozen():
+    """The canonical learning task's shape (no frozen policy inside the
+    kernel — the opponent runs on in-sim hardCodeDefense)."""
+    _run_tiled_vs_1d(use_frozen=False)
 
 
 def test_policy_forward_rows_matches_flax():
