@@ -83,15 +83,31 @@ def make_fused_gae(T: int, W: int, gamma: float, lam: float,
     assert W % gb == 0
     n_blocks = W // gb
     n_per = float(T * gb)
+    # Mosaic requires the block's second-to-last dim to be a multiple of
+    # 8 (the f32 sublane tile) — a (T, 1, gb) single-row slice of the
+    # trajectory fails to lower on real TPU (interpret mode does not
+    # check).  Stream one (T, 8, gb) operand per aligned 8-row window
+    # touching {r_value, r_rew, r_done} and slice in-kernel.
+    windows = sorted({r // 8 for r in (r_value, r_rew, r_done)})
 
-    def kernel(v_ref, r_ref, d_ref, c_ref, nv_ref, vs_ref,
-               side_o, mom_o, carry_o, tick_o):
+    def locate(r):
+        return windows.index(r // 8), r % 8
+
+    def kernel(*refs):
+        w_refs = refs[:len(windows)]
+        (c_ref, nv_ref, vs_ref, side_o, mom_o, carry_o,
+         tick_o) = refs[len(windows):]
+
+        def row(r):
+            wi, off = locate(r)
+            return w_refs[wi][:, off, :]                        # (T, gb)
+
         vs = vs_ref[...]                        # (1, VSTAT_COLS)
         vmean = vs[0, 0]
         vsig = vs[0, 1]
-        vals = v_ref[:, 0, :]                                   # (T, gb)
-        rew = r_ref[:, 0, :]
-        dn = d_ref[:, 0, :]
+        vals = row(r_value)                                     # (T, gb)
+        rew = row(r_rew)
+        dn = row(r_done)
         v_un = vmean + vsig * jnp.clip(vals, -5.0, 5.0)
         next_un = vmean + vsig * jnp.clip(nv_ref[...], -5.0, 5.0)
         nd = 1.0 - dn
@@ -120,8 +136,19 @@ def make_fused_gae(T: int, W: int, gamma: float, lam: float,
             m2 = jnp.sum((x - m) * (x - m))
             cells.append(m.reshape(1, 1))
             cells.append(m2.reshape(1, 1))
-        mom_o[...] = jnp.concatenate(cells + [jnp.zeros((1, 2), F32)],
-                                     axis=1)
+        mom_row = jnp.concatenate(cells + [jnp.zeros((1, 2), F32)],
+                                  axis=1)                       # (1, 8)
+        # The moments block is VMEM-resident across the whole grid
+        # (constant index map — a (1, 8) per-step block would break the
+        # 8-sublane rule); write this step's row via a one-hot mask.
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            mom_o[...] = jnp.zeros_like(mom_o)
+
+        sub = jax.lax.broadcasted_iota(jnp.int32, (n_blocks, 8), 0)
+        mom_o[...] = jnp.where(sub == i, mom_row, mom_o[...])
 
         # episode-stats forward recursion (_stats_step semantics:
         # sample curr+rew and lens+1 at done, then reset)
@@ -149,12 +176,10 @@ def make_fused_gae(T: int, W: int, gamma: float, lam: float,
             kernel,
             grid=(n_blocks,),
             in_specs=[
-                pl.BlockSpec((T, 1, gb), lambda i: (0, r_value, i),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((T, 1, gb), lambda i: (0, r_rew, i),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((T, 1, gb), lambda i: (0, r_done, i),
-                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((T, 8, gb), lambda i, w=w: (0, w, i),
+                             memory_space=pltpu.VMEM)
+                for w in windows
+            ] + [
                 pl.BlockSpec((2, gb), lambda i: (0, i),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, gb), lambda i: (0, i),
@@ -165,7 +190,7 @@ def make_fused_gae(T: int, W: int, gamma: float, lam: float,
             out_specs=[
                 pl.BlockSpec((T, SIDE_ROWS, gb), lambda i: (0, 0, i),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 8), lambda i: (i, 0),
+                pl.BlockSpec((n_blocks, 8), lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((2, gb), lambda i: (0, i),
                              memory_space=pltpu.VMEM),
@@ -180,7 +205,8 @@ def make_fused_gae(T: int, W: int, gamma: float, lam: float,
             ],
             interpret=interpret,
         )
-        return call(traj, traj, traj, carry, next_value_n, vstats)
+        return call(*([traj] * len(windows)), carry, next_value_n,
+                    vstats)
 
     gae_fn.gb = gb
     gae_fn.n_blocks = n_blocks
@@ -238,17 +264,20 @@ def make_obs_moments(T: int, W: int, used: int, gb: int | None = None,
     assert W % gb == 0
     n_wb = W // gb
     fgb = float(gb)
+    # sublane-aligned DMA: `used` (103) is not a multiple of 8, so the
+    # streamed block rounds up and the kernel slices the live rows
+    used_pad = -(-used // 8) * 8
 
     def kernel(x_ref, out_o):
         i = pl.program_id(0)
-        chan_fold(out_o, x_ref[0], fgb, i == 0)
+        chan_fold(out_o, x_ref[0, :used], fgb, i == 0)
 
     def mom_fn(traj):
         call = pl.pallas_call(
             kernel,
             grid=(T * n_wb,),
             in_specs=[
-                pl.BlockSpec((1, used, gb),
+                pl.BlockSpec((1, used_pad, gb),
                              lambda i: (i // n_wb, 0, i % n_wb),
                              memory_space=pltpu.VMEM),
             ],

@@ -35,6 +35,8 @@ need not hit.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 
 import jax
@@ -563,8 +565,13 @@ def make_fused_update_phase(hp, D: int, T: int, W: int, wb: int,
             gn = jnp.sqrt(sum(jnp.sum(g * g) for g in gs))
             small = gn < max_norm
             t_step = (cnt_ref[0] + (i + 1) // bpm).astype(F32)
-            bc1 = 1.0 - jax.lax.pow(jnp.asarray(B1, F32), t_step)
-            bc2 = 1.0 - jax.lax.pow(jnp.asarray(B2, F32), t_step)
+            # beta**t as exp(t*log(beta)): lax.pow with a traced f32
+            # exponent emits math.powf, which Mosaic cannot legalize on
+            # TPU; log(beta) folds to a trace-time constant and exp
+            # lowers natively.  |rel err| ~1 ulp, inside the 2e-6 optax
+            # pin of tests/test_fused_update.py.
+            bc1 = 1.0 - jnp.exp(t_step * math.log(B1))
+            bc2 = 1.0 - jnp.exp(t_step * math.log(B2))
             for p, m, v, g in zip(p_o, m_o, v_o, gs):
                 u = jnp.where(small, g, (g / gn) * max_norm)
                 m_new = (1.0 - B1) * u + B1 * m[...]
