@@ -43,16 +43,18 @@ def main():
     print(f"compile+first: {time.perf_counter() - t0:.1f}s  "
           f"mean_reward={float(m['mean_reward']):.3f}")
 
-    best = float("inf")
+    samples = []
     for _ in range(3):
         t0 = time.perf_counter()
         for _ in range(20):
             ts, m = ti(ts)
         np.asarray(jax.device_get(ts.sf[:1, :1]))
-        best = min(best, (time.perf_counter() - t0) / 20)
+        samples.append((time.perf_counter() - t0) / 20)
+    best = min(samples)
     print(f"mode={'kernel' if use_kernel else 'scan'} W={W} "
           f"frozen={use_frozen} iter={best * 1e3:.2f} ms  "
-          f"train_steps/s={W * hp.num_rollout_steps / best / 1e6:.1f}M")
+          f"train_steps/s={W * hp.num_rollout_steps / best / 1e6:.1f}M  "
+          f"samples_ms={[round(s * 1e3, 2) for s in samples]}")
     print("metrics:", {k: round(float(v), 4) for k, v in m.items()})
 
 

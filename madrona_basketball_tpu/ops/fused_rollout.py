@@ -63,8 +63,14 @@ OBS = C.OBS_SIZE                  # 128
 # multiple of 8 sublanes so per-tick blocks tile cleanly.
 ROLL_OBS = C.OBS_USED      # 103 packed obs rows
 R_ACT = ROLL_OBS           # 6 action rows
-R_LOGP = R_ACT + 6
-R_VALUE = R_LOGP + 1
+R_LOGP = R_ACT + 6         # 109
+# value/reward/done start at the next 8-row boundary (112) so all three
+# share ONE aligned (T, 8, W) sublane window: the fused-GAE kernel
+# (ops/fused_gae.py) streams a single window per block instead of two
+# (Mosaic blocks must be 8-row aligned).  Rows R_LOGP+1..R_VALUE-1 are
+# structural zero padding, reused by the materialized-gather update
+# path as its contiguous value/adv/return feat columns.
+R_VALUE = -(-(R_LOGP + 1) // 8) * 8  # 112
 R_REW = R_VALUE + 1
 R_DONE = R_REW + 1
 # Padded to a full 128-lane tile: a (total, 128) feat matrix gathers
@@ -295,7 +301,8 @@ def make_fused_rollout(cfg: SimConfig, num_worlds: int, n_steps: int,
             traj[0, R_ACT + j] = actions[j].astype(F32)
         traj[0, R_LOGP] = logp
         traj[0, R_VALUE] = value
-        for r in range(R_DONE + 1, ROLL_ROWS):
+        for r in (*range(R_LOGP + 1, R_VALUE),
+                  *range(R_DONE + 1, ROLL_ROWS)):
             traj[0, r] = jnp.zeros((blk,), F32)
 
         # ---- sim tick (all 19 systems, obs computed) ----
@@ -485,7 +492,8 @@ def make_fused_rollout_tiled(cfg: SimConfig, num_worlds: int, n_steps: int,
         for s in range(8):
             traj[0, R_LOGP, s, :] = logp[s * blk_c:(s + 1) * blk_c]
             traj[0, R_VALUE, s, :] = value[s * blk_c:(s + 1) * blk_c]
-        for r in range(R_DONE + 1, ROLL_ROWS):
+        for r in (*range(R_LOGP + 1, R_VALUE),
+                  *range(R_DONE + 1, ROLL_ROWS)):
             traj[0, r] = jnp.zeros((8, blk_c), F32)
 
         # ---- sim tick on (8, blk_c) tiles ----

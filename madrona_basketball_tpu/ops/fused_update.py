@@ -509,6 +509,10 @@ def make_fused_update_phase(hp, D: int, T: int, W: int, wb: int,
     lr = hp.learning_rate
     max_norm = hp.max_grad_norm
     B1, B2, EPS_ADAM = 0.9, 0.999, 1e-8
+    # The bias-correction below computes beta**t as exp(t*log(beta)) —
+    # valid only for 0 < beta < 1.  If a beta is ever made configurable,
+    # beta == 0 (no-momentum Adam) needs a lax.pow/select path instead.
+    assert 0.0 < B1 < 1.0 and 0.0 < B2 < 1.0
 
     def kernel(idx_ref, cnt_ref, traj_blk, side_blk, nrm_r, *rest):
         if raw_side:

@@ -501,13 +501,15 @@ def make_train_iteration_fused(cfg: SimConfig, hp: PPOParams,
                 agent, opt_state = update_policy_traj(
                     agent, ts.opt_state, traj, side, k_upd)
             else:
-                # feat columns line up with run_epochs' contract: packed
-                # obs 0:ROLL_OBS, actions next (R_ACT), then logp,
-                # value_n (over R_VALUE), advantage (over R_REW),
-                # return_n (over R_DONE); trailing rows are padding.
-                traj = traj.at[:, FR.R_VALUE, :].set(values_n)
-                traj = traj.at[:, FR.R_REW, :].set(adv_n)
-                traj = traj.at[:, FR.R_DONE, :].set(returns_n)
+                # feat columns line up with run_epochs' CONTIGUOUS
+                # contract: packed obs 0:ROLL_OBS, actions next (R_ACT),
+                # then logp, value_n, advantage, return_n at
+                # R_LOGP+1..+3 (the pre-R_VALUE pad rows — R_VALUE
+                # itself sits at the next 8-row boundary); later rows
+                # (raw value/rew/done + tail) are ignored padding.
+                traj = traj.at[:, FR.R_LOGP + 1, :].set(values_n)
+                traj = traj.at[:, FR.R_LOGP + 2, :].set(adv_n)
+                traj = traj.at[:, FR.R_LOGP + 3, :].set(returns_n)
                 feat = jnp.swapaxes(traj, 1, 2).reshape(
                     T * hp.num_envs, FR.ROLL_ROWS)
                 obs_rms = rms_update_padded(agent.obs_rms,
