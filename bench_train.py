@@ -30,13 +30,18 @@ def main():
     use_kernel = (args[0] == "kernel") if args else True
     W = int(args[1]) if len(args) > 1 else 8192
     use_frozen = "--no-frozen" not in sys.argv
+    # --fused-gae measures the CLI's production default (GAE + stats +
+    # side assembly as one Pallas pass); without it this times the
+    # historical default path for comparability with rounds 2-3.
+    fused_gae = "--fused-gae" in sys.argv and use_kernel
 
     cfg = SimConfig()
     hp = PPOParams(num_envs=W, use_frozen=use_frozen)
     net, _ = init_agent(jax.random.PRNGKey(0))
     ts = init_fused_train_state(cfg, hp, net, jax.random.PRNGKey(1))
     ti = make_train_iteration_fused(cfg, hp, net, backend="pallas",
-                                    rollout_kernel=use_kernel)
+                                    rollout_kernel=use_kernel,
+                                    fused_gae=fused_gae)
     t0 = time.perf_counter()
     ts, m = ti(ts)
     np.asarray(jax.device_get(ts.sf[:1, :1]))
@@ -51,7 +56,8 @@ def main():
         np.asarray(jax.device_get(ts.sf[:1, :1]))
         samples.append((time.perf_counter() - t0) / 20)
     best = min(samples)
-    print(f"mode={'kernel' if use_kernel else 'scan'} W={W} "
+    print(f"mode={'kernel' if use_kernel else 'scan'}"
+          f"{'+gae' if fused_gae else ''} W={W} "
           f"frozen={use_frozen} iter={best * 1e3:.2f} ms  "
           f"train_steps/s={W * hp.num_rollout_steps / best / 1e6:.1f}M  "
           f"samples_ms={[round(s * 1e3, 2) for s in samples]}")

@@ -80,11 +80,16 @@ def build_parser() -> argparse.ArgumentParser:
                         "restores the materialized-gather autodiff "
                         "update (PPOParams.shuffle_block granularity)")
     p.add_argument("--fused-gae", action=argparse.BooleanOptionalAction,
-                   default=False,
+                   default=None,
                    help="rollout-kernel trainer only: run GAE + "
                         "side-array assembly as one Pallas pass and "
                         "normalize inside the update kernel "
-                        "(ops/fused_gae.py); requires --fused-grads")
+                        "(ops/fused_gae.py); requires --fused-grads. "
+                        "Default: ON whenever the rollout-kernel + "
+                        "fused-grads path is active (measured 16-21% "
+                        "faster at every world count, BENCHMARKS.md "
+                        "round 4); --no-fused-gae restores the XLA "
+                        "GAE segment")
     p.add_argument("--data-parallel", action="store_true", default=False,
                    help="shard worlds over ALL attached devices (data "
                         "mesh axis); learner replicates and gradient "
@@ -97,6 +102,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="epoch shuffles permute blocks of N consecutive "
                         "samples (TPU gathers are row-bound); 1 = the "
                         "reference's exact sample-granularity shuffle")
+    p.add_argument("--rollout-tiled", action="store_true", default=False,
+                   help="rollout-kernel trainer only: use the 2-D-tiled "
+                        "kernel variant (sim segment on (8, W/8) field "
+                        "tiles, per-tick policy relayout — docs/"
+                        "rollout_kernel_tiling.md); needs num_envs "
+                        "divisible by 1024")
     p.add_argument("--rollout-block", type=int, default=0,
                    help="rollout-kernel trainer only: worlds per kernel "
                         "block (0 = the VMEM-safe 1024 default; larger "
@@ -327,6 +338,13 @@ def main(argv=None):
         rollout_kernel = args.rollout_kernel
         if rollout_kernel is None:
             rollout_kernel = backend == "fused" and not args.viewer
+        if args.fused_gae is None:
+            # default ON for the flagship path (BENCHMARKS.md round 4:
+            # 3.63 vs 4.33 ms/iter @ 8192, 18.43 vs 23.21 @ 65536);
+            # the tiled rollout variant has no in-kernel obs moments
+            # but composes with the separate moments kernel, so the
+            # default still applies.
+            args.fused_gae = rollout_kernel and args.fused_grads
         if args.fused_gae and not (rollout_kernel and args.fused_grads):
             raise SystemExit(
                 "--fused-gae requires the rollout kernel and fused "
@@ -338,7 +356,8 @@ def main(argv=None):
             mesh=mesh, rollout_kernel=rollout_kernel,
             fused_grads=args.fused_grads,
             fused_gae=args.fused_gae,
-            rollout_block=args.rollout_block or None)
+            rollout_block=args.rollout_block or None,
+            rollout_tiled=args.rollout_tiled)
         if mesh is not None:
             from .parallel.mesh import shard_fused_train_state
             ts = shard_fused_train_state(ts, mesh)

@@ -81,7 +81,8 @@ def make_train_iteration_fused(cfg: SimConfig, hp: PPOParams,
                                rollout_interpret: bool = False,
                                fused_grads: bool = True,
                                fused_gae: bool = False,
-                               rollout_block: int | None = None):
+                               rollout_block: int | None = None,
+                               rollout_tiled: bool = False):
     """`mesh`: optional jax.sharding.Mesh with a 'data' axis.  When given,
     the sim kernel runs under shard_map with worlds split across devices
     (a Pallas custom call does not auto-partition); everything else (policy,
@@ -108,6 +109,9 @@ def make_train_iteration_fused(cfg: SimConfig, hp: PPOParams,
         raise ValueError("fused_gae requires rollout_kernel=True and "
                          "fused_grads=True (it consumes the trajectory "
                          "buffer's raw-side contract)")
+    if rollout_tiled and not rollout_kernel:
+        raise ValueError("rollout_tiled selects the 2-D-tiled variant of "
+                         "the rollout kernel; pass rollout_kernel=True")
     ti = hp.trainee_idx
     fi = 1 - ti
     T = hp.num_rollout_steps
@@ -216,18 +220,32 @@ def make_train_iteration_fused(cfg: SimConfig, hp: PPOParams,
         # in VMEM); under a mesh the per-shard moments would need an
         # extra combine, so the sharded fused-GAE path keeps the
         # separate one-pass moments kernel over the gathered trajectory.
-        rk_obs_moments = fused_gae and mesh is None
+        rk_obs_moments = fused_gae and mesh is None and not rollout_tiled
         # rollout_block overrides the default 1024-lane cap (the VMEM-
         # safe default); larger blocks mean fewer grid steps per launch
         # — see bench_rollout_blk.py for the measured sweep.
-        rk = FR.make_fused_rollout(cfg, worlds_per_shard, T,
-                                   trainee_idx=ti, use_frozen=hp.use_frozen,
-                                   block=(rollout_block if rollout_block
-                                          else min(block, 1024)),
-                                   interpret=rollout_interpret,
-                                   external_noise=rollout_interpret,
-                                   obs_moments=rk_obs_moments,
-                                   max_block=(rollout_block or 1024))
+        if rollout_tiled:
+            # 2-D-tiled prototype (docs/rollout_kernel_tiling.md): sim
+            # segment on (8, blk/8) field tiles, policy segment 1-D
+            # with a per-tick relayout; no in-rollout obs moments (the
+            # fused-GAE path then uses the separate moments kernel).
+            rk = FR.make_fused_rollout_tiled(
+                cfg, worlds_per_shard, T, trainee_idx=ti,
+                use_frozen=hp.use_frozen,
+                block=(rollout_block if rollout_block
+                       else min(block, 1024)),
+                interpret=rollout_interpret,
+                external_noise=rollout_interpret)
+        else:
+            rk = FR.make_fused_rollout(
+                cfg, worlds_per_shard, T,
+                trainee_idx=ti, use_frozen=hp.use_frozen,
+                block=(rollout_block if rollout_block
+                       else min(block, 1024)),
+                interpret=rollout_interpret,
+                external_noise=rollout_interpret,
+                obs_moments=rk_obs_moments,
+                max_block=(rollout_block or 1024))
         if mesh is not None:
             from jax.sharding import PartitionSpec as P
             from jax import shard_map

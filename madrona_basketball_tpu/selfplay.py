@@ -43,8 +43,12 @@ def train_generation(cfg: SimConfig, hp: PPOParams, net, key,
     rollout_kernel = backend == "pallas"
     ts = init_fused_train_state(cfg, hp, net, key, agent=trainee,
                                 frozen=frozen)
+    # fused_gae follows the CLI default: ON for the flagship rollout-
+    # kernel path (16-21 % faster per iteration at every world count,
+    # BENCHMARKS.md round 4).
     it = make_train_iteration_fused(cfg, hp, net, backend=backend,
-                                    rollout_kernel=rollout_kernel)
+                                    rollout_kernel=rollout_kernel,
+                                    fused_gae=rollout_kernel)
     # Fuse iterations into one dispatch per block (host round-trips
     # dominate wall clock on remote-attached devices; see ppo/train.py).
     from .ppo.train import auto_chunk, make_train_chunk, unstack_metrics

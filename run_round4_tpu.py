@@ -91,7 +91,8 @@ def time_iter(ti, ts, label, W, T, reps=20, rounds=3):
     return ts, best
 
 
-ALL_STAGES = ("preflight", "gaeconv", "headline", "scale", "ab2000")
+ALL_STAGES = ("preflight", "gaeconv", "headline", "scale", "ab2000",
+              "tiled8k", "scalegae")
 
 
 def main():
@@ -119,7 +120,7 @@ def main():
     CH = 100
 
     def make(W, fused_grads=True, use_frozen=False, fused_gae=False,
-             rollout_block=None):
+             rollout_block=None, rollout_tiled=False):
         # Learning-curve stages run the canonical no-frozen task (the
         # round-2/3 plateau band and the torch overlay were measured on
         # it); throughput stages pass use_frozen=True to match the
@@ -130,7 +131,8 @@ def main():
                                         rollout_kernel=True,
                                         fused_grads=fused_grads,
                                         fused_gae=fused_gae,
-                                        rollout_block=rollout_block)
+                                        rollout_block=rollout_block,
+                                        rollout_tiled=rollout_tiled)
         return hp, ts, ti
 
     failures = []
@@ -287,6 +289,26 @@ def main():
         chunk = make_train_chunk(ti, CH)
         run_chunked(ts, chunk, 2000, "ab-gather", 8192,
                     hp.num_rollout_steps, CH)
+
+    @stage("tiled8k")
+    def _tiled8k():
+        # The docs/rollout_kernel_tiling.md decision gate, measured at
+        # the iteration level: 2-D-tiled rollout vs the 1-D default,
+        # with and without the fused-GAE pass.
+        for tiled, gae in ((False, False), (True, False), (True, True)):
+            hp, ts, ti = make(8192, use_frozen=True, fused_gae=gae,
+                              rollout_tiled=tiled)
+            time_iter(ti, ts,
+                      f"iter-8192-tiled={int(tiled)}-gae={int(gae)}",
+                      8192, hp.num_rollout_steps)
+
+    @stage("scalegae")
+    def _scalegae():
+        # fused-GAE variant across the scaling table (the default-flip
+        # decision needs more than the 8192 point).
+        for W in (16384, 32768, 65536):
+            hp, ts, ti = make(W, use_frozen=True, fused_gae=True)
+            time_iter(ti, ts, f"iter-gae-{W}", W, hp.num_rollout_steps)
 
     print(f"[round4-tpu] all stages complete; failures: "
           f"{failures or 'none'}", flush=True)

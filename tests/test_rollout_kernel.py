@@ -272,3 +272,38 @@ def test_policy_forward_rows_matches_flax():
                                np.asarray(logits_ref), atol=2e-5)
     np.testing.assert_allclose(np.asarray(value), np.asarray(value_ref),
                                atol=2e-5)
+
+
+def test_trainer_tiled_matches_1d():
+    """Full train iteration with rollout_tiled=True == rollout_tiled=
+    False (same seed, interpret mode): the external-noise chunk is
+    identical for both kernels, the tiled rollout is pinned
+    trajectory-equal to the 1-D one above, so the post-update
+    parameters must agree to f32 rounding.  Guards the trainer wiring
+    (--rollout-tiled), not just the standalone kernel."""
+    from madrona_basketball_tpu.ppo import train_fused as TF
+    from madrona_basketball_tpu.ppo.hparams import PPOParams
+
+    cfg = SimConfig()
+    # tiled needs num_envs % 1024 == 0 (cols % 128 == 0)
+    hp = PPOParams(num_envs=1024, num_rollout_steps=2, num_minibatches=2,
+                   update_epochs=1, use_frozen=False, trainee_idx=1)
+    net, _ = agent_lib.init_agent(jax.random.PRNGKey(0))
+
+    results = []
+    for tiled in (False, True):
+        ts = TF.init_fused_train_state(cfg, hp, net, jax.random.PRNGKey(7))
+        it = TF.make_train_iteration_fused(cfg, hp, net, backend="xla",
+                                           rollout_kernel=True,
+                                           rollout_interpret=True,
+                                           rollout_tiled=tiled)
+        ts, m = it(ts)
+        results.append((ts, m))
+    (ts_a, m_a), (ts_b, m_b) = results
+    for a, b in zip(jax.tree.leaves(ts_a.agent.params),
+                    jax.tree.leaves(ts_b.agent.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5)
+    for k in m_a:
+        np.testing.assert_allclose(float(m_a[k]), float(m_b[k]),
+                                   rtol=1e-5, atol=1e-6)
