@@ -152,6 +152,36 @@ def policy_forward_rows(obs_block, nrm, w1t, w2t, wht, bias):
     return out[0:N_LOGITS], out[N_LOGITS]
 
 
+def policy_forward_tiled(obs_tile, nrm, w1t, w2t, wht, bias):
+    """(OBS, 8, C) TILED raw obs -> (logits (N_LOGITS, 8, C),
+    value (8, C)).
+
+    Column-for-column the same math as policy_forward_rows: the
+    elementwise normalize runs on the full tile (all 8 sublanes of
+    every vreg live), and each of the 8 sublane groups runs the three
+    Dense matmuls as its own (32, OBS) @ (OBS, C) MXU call — same total
+    FLOPs as the 1-D kernel's one (OBS, 8C) matmul, no relayout.  World
+    w of the flat (OBS, W) layout sits at (sub, col) = (w // C, w % C),
+    identical to the tiled sim fields'."""
+    # NOTE: nrm[:, 0:1, None] (slice + newaxis in ONE indexing op)
+    # traces to a jnp gather, which Mosaic cannot lower — slice first,
+    # then expand_dims.
+    mean = jnp.expand_dims(nrm[:, 0:1], -1)      # (OBS, 1, 1)
+    rsig = jnp.expand_dims(nrm[:, 1:2], -1)
+    x = jnp.clip((obs_tile - mean) * rsig, -5.0, 5.0)
+    outs = []
+    for s in range(8):
+        h = jnp.dot(w1t, x[:, s, :], preferred_element_type=F32) + \
+            bias[:, 0:1]
+        h = jnp.maximum(_layer_norm(h, bias[:, 1:2], bias[:, 2:3]), 0.0)
+        h = jnp.dot(w2t, h, preferred_element_type=F32) + bias[:, 3:4]
+        h = jnp.maximum(_layer_norm(h, bias[:, 4:5], bias[:, 5:6]), 0.0)
+        outs.append(jnp.dot(wht, h, preferred_element_type=F32) +
+                    bias[0:N_LOGITS + 1, 6:7])
+    out = jnp.stack(outs, axis=1)          # (N_LOGITS + 1, 8, C)
+    return out[0:N_LOGITS], out[N_LOGITS]
+
+
 def gumbel_from_uniform(u):
     """u in [0, 1) -> standard Gumbel, guarding u == 0."""
     return -jnp.log(-jnp.log(jnp.maximum(u, 1e-20)))
@@ -375,28 +405,31 @@ def make_fused_rollout_tiled(cfg: SimConfig, num_worlds: int, n_steps: int,
                              trainee_idx: int, use_frozen: bool,
                              block: int = 1024, interpret: bool = False,
                              external_noise: bool = False):
-    """EXPERIMENTAL 2-D-tiled variant of the rollout kernel
-    (docs/rollout_kernel_tiling.md "first prototype").
+    """FULLY-TILED variant of the rollout kernel
+    (docs/rollout_kernel_tiling.md, second design).
 
-    The 1-D kernel runs its sim + noise segments on (rows, blk) world
-    rows — 1 of 8 sublanes per f32 vreg.  Here every state field is an
-    (8, blk_c) tile (the multistep kernel's layout, ~5x on chained VPU
-    math), with world w at (sub, col) = (w // cols, w % cols), cols =
-    W / 8 — a FREE reshape at the XLA buffer level, so the flat outputs
-    are world-indexed identically to the 1-D kernel's.
+    The 1-D kernel runs its sim + noise + sampling segments on
+    (rows, blk) world rows — 1 of 8 sublanes per f32 vreg.  Here every
+    state field AND the whole tick is an (8, blk_c) tile (the multistep
+    kernel's layout, ~5x on chained VPU math), with world w at
+    (sub, col) = (w // cols, w % cols), cols = W / 8 — a FREE reshape
+    at the XLA buffer level, so the flat outputs are world-indexed
+    identically to the 1-D kernel's.
 
-    Only the policy/sampling segment stays 1-D (the MLP wants worlds
-    lane-contiguous for the MXU): per tick the trainee (and frozen) obs
-    tiles are relaid to a (OBS, blk) VMEM scratch via 8 sublane slices,
-    and the sampled actions/logp/value are relaid back per sublane
-    group.  Whether the ~270-row-per-tick relayout eats the sim-segment
-    win is exactly what bench_rollout_blk.py measures on hardware.
+    There is NO layout boundary inside the tick: the obs normalize and
+    the Gumbel-max sampling chains run on tiled tensors, and the three
+    Dense matmuls split into 8 per-sublane-group (32, OBS) @ (OBS, C)
+    MXU calls (policy_forward_tiled) whose outputs are already in tile
+    position.  The first prototype instead relaid ~270 rows per tick
+    through a VMEM scratch to keep the policy segment 1-D; that
+    relayout measured +0.32 ms per iteration at 8192x32 and ate the
+    sim-segment win (BENCHMARKS.md round 4).
 
     Semantics match make_fused_rollout on identical external noise
     (tests/test_rollout_kernel.py); the on-chip PRNG path draws a
     DIFFERENT (equally distributed) stream — within the SURVEY §2.3
-    distribution-parity contract.  No obs_moments support (prototype;
-    the fused-GAE path keeps the 1-D kernel).
+    distribution-parity contract.  No obs_moments support (the
+    fused-GAE path then uses the separate one-pass moments kernel).
     """
     assert n_steps >= 1
     assert num_worlds % 1024 == 0, \
@@ -412,7 +445,6 @@ def make_fused_rollout_tiled(cfg: SimConfig, num_worlds: int, n_steps: int,
     rew_row = F_IDX[f"a{trainee_idx}.reward"]
     done_row = F_IDX[f"a{trainee_idx}.done"]
     n_param = 5 * (2 if use_frozen else 1)
-    U_PAD = ((N_LOGITS + 7) // 8) * 8  # 24-row uniform scratches
 
     def kernel(*refs):
         rng_ref = refs[0]
@@ -420,8 +452,6 @@ def make_fused_rollout_tiled(cfg: SimConfig, num_worlds: int, n_steps: int,
         tp = tuple(r[...] for r in refs[4:9])
         fp = tuple(r[...] for r in refs[9:14]) if use_frozen else None
         sf_out, si_out, obs_out, traj = refs[4 + n_param:8 + n_param]
-        obs1d = refs[8 + n_param]      # (OBS, blk) policy-input scratch
-        u_t1, u_f1 = refs[9 + n_param], refs[10 + n_param]  # (U_PAD, blk)
         b = pl.program_id(0)
         t = pl.program_id(1)
 
@@ -434,21 +464,15 @@ def make_fused_rollout_tiled(cfg: SimConfig, num_worlds: int, n_steps: int,
         if external_noise:
             chunk = rng_ref[...]  # (EXT_NOISE_CHUNK, 8, blk_c)
             sim_noise = [chunk[r] for r in range(N_NOISE_ROWS)]
-            # policy uniforms ride tiled in the chunk; relay to 1-D
-            for s in range(8):
-                u_t1[0:N_LOGITS, pl.ds(s * blk_c, blk_c)] = \
-                    chunk[EXT_TRAINEE_U:EXT_TRAINEE_U + N_LOGITS, s, :]
-                u_f1[0:N_LOGITS, pl.ds(s * blk_c, blk_c)] = \
-                    chunk[EXT_FROZEN_U:EXT_FROZEN_U + N_LOGITS, s, :]
-            u_t = u_t1[0:N_LOGITS, :]
-            u_f = u_f1[0:N_LOGITS, :]
+            # policy uniforms ride tiled in the chunk and are consumed
+            # tiled — the same per-world values as the 1-D kernel's
+            u_t = chunk[EXT_TRAINEE_U:EXT_TRAINEE_U + N_LOGITS]
+            u_f = chunk[EXT_FROZEN_U:EXT_FROZEN_U + N_LOGITS]
         else:
             pltpu.prng_seed(rng_ref[0, 0],
                             b * TICK_STRIDE + rng_ref[0, 1] + t)
-            # sim noise drawn TILED (the shape step_fields consumes),
-            # policy uniforms drawn 1-D (the shape sampling consumes) —
-            # a different, equally distributed stream than the 1-D
-            # kernel's single (n_draw, blk) draw.
+            # everything drawn TILED — a different, equally distributed
+            # stream than the 1-D kernel's (n_draw, blk) draws
             su = _bits_to_unit(pltpu.bitcast(
                 pltpu.prng_random_bits((N_NOISE_ROWS, 8, blk_c)),
                 jnp.uint32))
@@ -456,42 +480,36 @@ def make_fused_rollout_tiled(cfg: SimConfig, num_worlds: int, n_steps: int,
                          for r in range(N_NOISE_ROWS - 1)]
             sim_noise.append(su[N_NOISE_ROWS - 1])
             u = _bits_to_unit(pltpu.bitcast(
-                pltpu.prng_random_bits((2 * N_LOGITS, blk)), jnp.uint32))
+                pltpu.prng_random_bits((2 * N_LOGITS, 8, blk_c)),
+                jnp.uint32))
             u_t = u[0:N_LOGITS]
             u_f = u[N_LOGITS:]
 
-        # ---- policy on the PRE-TICK obs: tiled -> 1-D relayout ----
-        for s in range(8):
-            obs1d[:, pl.ds(s * blk_c, blk_c)] = \
-                obs_out[ti_lo:ti_lo + OBS, s, :]
-        obs_t = obs1d[...]
-        logits, value = policy_forward_rows(obs_t, *tp)
+        # ---- policy on the PRE-TICK obs, FULLY TILED: the Gumbel-max
+        # sampling chains run on (N_LOGITS, 8, blk_c) tensors (all 8
+        # sublanes live) and only the Dense matmuls split into 8
+        # per-sublane-group MXU calls (policy_forward_tiled).  No
+        # 1-D <-> tiled relayout anywhere in the tick — the per-tick
+        # ~270-row scratch relayout of the first prototype measured
+        # +0.32 ms at 8192x32 and ate the sim-segment win. ----
+        logits, value = policy_forward_tiled(
+            obs_out[ti_lo:ti_lo + OBS], *tp)
         actions, logp = sample_rows(logits, gumbel_from_uniform(u_t))
         for j in range(6):
-            for s in range(8):
-                si_out[t_rows[j], s, :] = \
-                    actions[j][s * blk_c:(s + 1) * blk_c]
+            si_out[t_rows[j]] = actions[j]
         if use_frozen:
-            for s in range(8):
-                obs1d[:, pl.ds(s * blk_c, blk_c)] = \
-                    obs_out[fi_lo:fi_lo + OBS, s, :]
-            f_logits, _ = policy_forward_rows(obs1d[...], *fp)
+            f_logits, _ = policy_forward_tiled(
+                obs_out[fi_lo:fi_lo + OBS], *fp)
             f_actions, _ = sample_rows(f_logits, gumbel_from_uniform(u_f))
             for j in range(6):
-                for s in range(8):
-                    si_out[f_rows[j], s, :] = \
-                        f_actions[j][s * blk_c:(s + 1) * blk_c]
+                si_out[f_rows[j]] = f_actions[j]
 
-        # ---- trajectory rows (tiled block; obs copy needs no relayout,
-        # the 1-D policy outputs relay back per sublane group) ----
+        # ---- trajectory rows (everything already tiled) ----
         traj[0, 0:ROLL_OBS] = obs_out[ti_lo:ti_lo + ROLL_OBS]
         for j in range(6):
-            af = actions[j].astype(F32)
-            for s in range(8):
-                traj[0, R_ACT + j, s, :] = af[s * blk_c:(s + 1) * blk_c]
-        for s in range(8):
-            traj[0, R_LOGP, s, :] = logp[s * blk_c:(s + 1) * blk_c]
-            traj[0, R_VALUE, s, :] = value[s * blk_c:(s + 1) * blk_c]
+            traj[0, R_ACT + j] = actions[j].astype(F32)
+        traj[0, R_LOGP] = logp
+        traj[0, R_VALUE] = value
         for r in (*range(R_LOGP + 1, R_VALUE),
                   *range(R_DONE + 1, ROLL_ROWS)):
             traj[0, r] = jnp.zeros((8, blk_c), F32)
@@ -550,9 +568,6 @@ def make_fused_rollout_tiled(cfg: SimConfig, num_worlds: int, n_steps: int,
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
-        scratch_shapes=[pltpu.VMEM((OBS, blk), F32),
-                        pltpu.VMEM((U_PAD, blk), F32),
-                        pltpu.VMEM((U_PAD, blk), F32)],
         interpret=interpret,
     )
 
