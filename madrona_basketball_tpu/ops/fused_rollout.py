@@ -156,29 +156,35 @@ def policy_forward_tiled(obs_tile, nrm, w1t, w2t, wht, bias):
     """(OBS, 8, C) TILED raw obs -> (logits (N_LOGITS, 8, C),
     value (8, C)).
 
-    Column-for-column the same math as policy_forward_rows: the
-    elementwise normalize runs on the full tile (all 8 sublanes of
-    every vreg live), and each of the 8 sublane groups runs the three
-    Dense matmuls as its own (32, OBS) @ (OBS, C) MXU call — same total
-    FLOPs as the 1-D kernel's one (OBS, 8C) matmul, no relayout.  World
-    w of the flat (OBS, W) layout sits at (sub, col) = (w // C, w % C),
-    identical to the tiled sim fields'."""
-    # NOTE: nrm[:, 0:1, None] (slice + newaxis in ONE indexing op)
-    # traces to a jnp gather, which Mosaic cannot lower — slice first,
-    # then expand_dims.
-    mean = jnp.expand_dims(nrm[:, 0:1], -1)      # (OBS, 1, 1)
-    rsig = jnp.expand_dims(nrm[:, 1:2], -1)
-    x = jnp.clip((obs_tile - mean) * rsig, -5.0, 5.0)
-    outs = []
-    for s in range(8):
-        h = jnp.dot(w1t, x[:, s, :], preferred_element_type=F32) + \
-            bias[:, 0:1]
-        h = jnp.maximum(_layer_norm(h, bias[:, 1:2], bias[:, 2:3]), 0.0)
-        h = jnp.dot(w2t, h, preferred_element_type=F32) + bias[:, 3:4]
-        h = jnp.maximum(_layer_norm(h, bias[:, 4:5], bias[:, 5:6]), 0.0)
-        outs.append(jnp.dot(wht, h, preferred_element_type=F32) +
-                    bias[0:N_LOGITS + 1, 6:7])
-    out = jnp.stack(outs, axis=1)          # (N_LOGITS + 1, 8, C)
+    Column-for-column the same math as policy_forward_rows: every
+    Dense layer is ONE rank-3 lax.dot_general contracting the feature
+    axis against the whole (..., 8, C) tile (Mosaic lowers it as a
+    matmul batched over the sublane-group axis — measurably faster
+    than 8 explicit per-group matmuls + an output stack), and the
+    normalize / layer-norm / ReLU run on full tiles with all 8
+    sublanes of every vreg live.  Zero relayout anywhere.  World w of
+    the flat (OBS, W) layout sits at (sub, col) = (w // C, w % C),
+    identical to the tiled sim fields'.
+
+    NOTE: nrm[:, 0:1, None] (slice + newaxis in ONE indexing op)
+    traces to a jnp gather, which Mosaic cannot lower — slice first,
+    then expand_dims."""
+    def col(v):                                  # (R, 1) -> (R, 1, 1)
+        return jnp.expand_dims(v, -1)
+
+    def dg(w, v):                                # (M, K) @ (K, 8, C)
+        return jax.lax.dot_general(w, v, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=F32)
+
+    x = jnp.clip((obs_tile - col(nrm[:, 0:1])) * col(nrm[:, 1:2]),
+                 -5.0, 5.0)
+    h = dg(w1t, x) + col(bias[:, 0:1])
+    h = jnp.maximum(_layer_norm(h, col(bias[:, 1:2]),
+                                col(bias[:, 2:3])), 0.0)
+    h = dg(w2t, h) + col(bias[:, 3:4])
+    h = jnp.maximum(_layer_norm(h, col(bias[:, 4:5]),
+                                col(bias[:, 5:6])), 0.0)
+    out = dg(wht, h) + col(bias[0:N_LOGITS + 1, 6:7])
     return out[0:N_LOGITS], out[N_LOGITS]
 
 
