@@ -172,5 +172,10 @@ def sweep(per_device_worlds: int = 4096, rollout_steps: int = 32,
 
 
 if __name__ == "__main__":
+    # Without this, the deployment image's site hook re-asserts the axon
+    # TPU platform over JAX_PLATFORMS=cpu and the virtual 8-device CPU
+    # sweep silently degrades to the 1-real-chip row.
+    from madrona_basketball_tpu.utils.profiling import honor_platform_env
+    honor_platform_env()
     worlds = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
     sweep(worlds)
