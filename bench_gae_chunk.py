@@ -1,6 +1,6 @@
 import time
 import jax
-import numpy as np
+from madrona_basketball_tpu.utils.benching import fetch_sync
 from madrona_basketball_tpu.utils.profiling import enable_compile_cache
 enable_compile_cache()
 from madrona_basketball_tpu.config import SimConfig
@@ -20,13 +20,13 @@ for W in (8192, 65536):
     chunk = make_train_chunk(ti, 100)
     t0 = time.perf_counter()
     ts, _ = chunk(ts)
-    np.asarray(jax.device_get(ts.sf[:1, :1]))
+    fetch_sync(ts.sf)
     print(f"[gae-chunk-{W}] compile+first: {time.perf_counter()-t0:.1f}s",
           flush=True)
     for rnd in range(3):
         t0 = time.perf_counter()
         ts, _ = chunk(ts)
-        np.asarray(jax.device_get(ts.sf[:1, :1]))
+        fetch_sync(ts.sf)
         ms = (time.perf_counter()-t0) / 100 * 1e3
         print(f"[gae-chunk-{W}] round {rnd}: iter={ms:.2f} ms  "
               f"train_steps/s={W*32/ms*1e3/1e6:.1f}M", flush=True)

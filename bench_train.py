@@ -14,10 +14,10 @@ import time
 
 import jax
 import jax.numpy as jnp  # noqa: F401
-import numpy as np
 
 
 def main():
+    from madrona_basketball_tpu.utils.benching import fetch_sync
     from madrona_basketball_tpu.utils.profiling import enable_compile_cache
     enable_compile_cache()
     from madrona_basketball_tpu.config import SimConfig
@@ -33,7 +33,11 @@ def main():
     # --fused-gae measures the CLI's production default (GAE + stats +
     # side assembly as one Pallas pass); without it this times the
     # historical default path for comparability with rounds 2-3.
-    fused_gae = "--fused-gae" in sys.argv and use_kernel
+    fused_gae = "--fused-gae" in sys.argv
+    if fused_gae and not use_kernel:
+        sys.exit("--fused-gae requires the rollout kernel "
+                 "(it consumes the kernel's trajectory layout); "
+                 "use 'kernel' mode")
 
     cfg = SimConfig()
     hp = PPOParams(num_envs=W, use_frozen=use_frozen)
@@ -44,7 +48,7 @@ def main():
                                     fused_gae=fused_gae)
     t0 = time.perf_counter()
     ts, m = ti(ts)
-    np.asarray(jax.device_get(ts.sf[:1, :1]))
+    fetch_sync(ts.sf)
     print(f"compile+first: {time.perf_counter() - t0:.1f}s  "
           f"mean_reward={float(m['mean_reward']):.3f}")
 
@@ -53,7 +57,7 @@ def main():
         t0 = time.perf_counter()
         for _ in range(20):
             ts, m = ti(ts)
-        np.asarray(jax.device_get(ts.sf[:1, :1]))
+        fetch_sync(ts.sf)
         samples.append((time.perf_counter() - t0) / 20)
     best = min(samples)
     print(f"mode={'kernel' if use_kernel else 'scan'}"

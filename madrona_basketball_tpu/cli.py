@@ -86,7 +86,7 @@ def build_parser() -> argparse.ArgumentParser:
                         "normalize inside the update kernel "
                         "(ops/fused_gae.py); requires --fused-grads. "
                         "Default: ON whenever the rollout-kernel + "
-                        "fused-grads path is active (measured 16-21% "
+                        "fused-grads path is active (measured 16-21%% "
                         "faster at every world count, BENCHMARKS.md "
                         "round 4); --no-fused-gae restores the XLA "
                         "GAE segment")
@@ -103,11 +103,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "samples (TPU gathers are row-bound); 1 = the "
                         "reference's exact sample-granularity shuffle")
     p.add_argument("--rollout-tiled", action="store_true", default=False,
-                   help="rollout-kernel trainer only: use the 2-D-tiled "
-                        "kernel variant (sim segment on (8, W/8) field "
-                        "tiles, per-tick policy relayout — docs/"
-                        "rollout_kernel_tiling.md); needs num_envs "
-                        "divisible by 1024")
+                   help="rollout-kernel trainer only: use the fully-"
+                        "tiled kernel variant (whole tick on (8, blk/8) "
+                        "field tiles, policy as rank-3 dot_generals, "
+                        "zero relayout — measured slower than the 1-D "
+                        "default, kept for A/B; docs/"
+                        "rollout_kernel_tiling.md); needs the per-device "
+                        "world count divisible by 1024")
     p.add_argument("--rollout-block", type=int, default=0,
                    help="rollout-kernel trainer only: worlds per kernel "
                         "block (0 = the VMEM-safe 1024 default; larger "

@@ -225,9 +225,11 @@ def make_train_iteration_fused(cfg: SimConfig, hp: PPOParams,
         # safe default); larger blocks mean fewer grid steps per launch
         # — see bench_rollout_blk.py for the measured sweep.
         if rollout_tiled:
-            # 2-D-tiled prototype (docs/rollout_kernel_tiling.md): sim
-            # segment on (8, blk/8) field tiles, policy segment 1-D
-            # with a per-tick relayout; no in-rollout obs moments (the
+            # Fully-tiled variant (docs/rollout_kernel_tiling.md, v3):
+            # the whole tick — sim AND policy — on (8, blk/8) field
+            # tiles, each Dense layer one rank-3 dot_general, zero
+            # relayout; measured slower than the 1-D default, kept
+            # behind the flag for A/B.  No in-rollout obs moments (the
             # fused-GAE path then uses the separate moments kernel).
             rk = FR.make_fused_rollout_tiled(
                 cfg, worlds_per_shard, T, trainee_idx=ti,
@@ -522,9 +524,11 @@ def make_train_iteration_fused(cfg: SimConfig, hp: PPOParams,
                 # feat columns line up with run_epochs' CONTIGUOUS
                 # contract: packed obs 0:ROLL_OBS, actions next (R_ACT),
                 # then logp, value_n, advantage, return_n at
-                # R_LOGP+1..+3 (the pre-R_VALUE pad rows — R_VALUE
-                # itself sits at the next 8-row boundary); later rows
-                # (raw value/rew/done + tail) are ignored padding.
+                # R_LOGP+1..+3.  +1/+2 are the pad rows before the
+                # 8-aligned R_VALUE; +3 IS R_VALUE — its raw value is
+                # dead once GAE has run on this path, so return_n may
+                # overwrite it.  Rows after it (raw rew/done + tail)
+                # are ignored padding.
                 traj = traj.at[:, FR.R_LOGP + 1, :].set(values_n)
                 traj = traj.at[:, FR.R_LOGP + 2, :].set(adv_n)
                 traj = traj.at[:, FR.R_LOGP + 3, :].set(returns_n)

@@ -29,6 +29,15 @@ Stages (each isolated; failures collected, exit 1 at the end):
   ab2000:    the 8192 shuffle-granularity A/B run TO PLATEAU (2000
              iters/arm, same seed): default coarse-block fused update
              vs the materialized-gather sample-shuffle arm.
+  tiled8k:   the docs/rollout_kernel_tiling.md decision gate at the
+             iteration level: 2-D-tiled rollout vs the 1-D default,
+             with and without the fused-GAE pass.
+  scalegae:  fused-GAE variant at 16384 / 32768 / 65536 (the
+             default-flip decision needs more than the 8192 point).
+
+A preflight lowering failure aborts every later stage in the run (they
+would each re-pay the multi-minute remote compile just to hit the same
+Mosaic error); the skipped stages count as failures for the exit code.
 
 Usage: python run_round4_tpu.py [--force] [stage ...]   (default: all;
 unknown stage names are an error, NOT a silent no-op)
@@ -42,11 +51,9 @@ import time
 import jax
 import numpy as np
 
+from madrona_basketball_tpu.utils.benching import fetch_sync as fetch_scalar
+
 STATE_DIR = pathlib.Path("bench_logs/r4/state")
-
-
-def fetch_scalar(x):
-    return float(np.asarray(jax.device_get(x.reshape(-1)[:1]))[0])
 
 
 def run_chunked(ts, chunk, iters, label, W, T, ch=100):
@@ -148,6 +155,14 @@ def main():
             if marker.exists() and not force:
                 print(f"[round4-tpu] STAGE {name} already done "
                       f"({marker}); skipping", flush=True)
+                return fn
+            if "preflight" in failures:
+                # Every variant the stages run just failed to lower;
+                # running them would re-pay the remote compile to hit
+                # the same Mosaic error hours later.
+                failures.append(name)
+                print(f"[round4-tpu] STAGE {name} SKIPPED: preflight "
+                      f"failed", flush=True)
                 return fn
             t0 = time.perf_counter()
             try:
