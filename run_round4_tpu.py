@@ -43,39 +43,16 @@ Usage: python run_round4_tpu.py [--force] [stage ...]   (default: all;
 unknown stage names are an error, NOT a silent no-op)
 """
 
-import os
 import pathlib
 import sys
 import time
 
 import jax
-import numpy as np
 
-from madrona_basketball_tpu.utils.benching import fetch_sync as fetch_scalar
+from madrona_basketball_tpu.utils.benching import (
+    fetch_sync as fetch_scalar, run_chunked_train as run_chunked)
 
 STATE_DIR = pathlib.Path("bench_logs/r4/state")
-
-
-def run_chunked(ts, chunk, iters, label, W, T, ch=100):
-    t0 = time.perf_counter()
-    done = 0
-    last = (0.0, 0.0)
-    while done < iters:
-        ts, stacked = chunk(ts)
-        done += ch
-        r = float(np.asarray(jax.device_get(stacked["mean_reward"][-1])))
-        ln = float(np.asarray(jax.device_get(
-            stacked["mean_episode_length"][-1])))
-        last = (r, ln)
-        print(f"[{label}] iter {done}: reward {r:.1f} len {ln:.1f} "
-              f"({time.perf_counter() - t0:.0f}s)", flush=True)
-    finite = all(np.isfinite(np.asarray(jax.device_get(x))).all()
-                 for x in jax.tree.leaves(ts.agent.params))
-    fps = done * W * T / (time.perf_counter() - t0)
-    print(f"[{label}] DONE {done} iters reward {last[0]:.1f} len "
-          f"{last[1]:.1f} params_finite={finite} "
-          f"sustained {fps / 1e6:.1f}M steps/s incl. compile", flush=True)
-    return ts
 
 
 def time_iter(ti, ts, label, W, T, reps=20, rounds=3):
