@@ -1,6 +1,7 @@
 """Training-iteration benchmark: ms/iteration and train env-steps/s.
 
 Usage: python bench_train.py [kernel|scan] [num_envs] [--no-frozen]
+                             [--fused-gae]   (kernel mode only)
 
 Times the full PPO iteration (rollout + GAE + 4x4 minibatch update) for
 the fused trainer, with the rollout either as the policy-in-the-loop
