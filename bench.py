@@ -223,12 +223,23 @@ def main(num_worlds: int = 8192, n_steps: int = 1000):
           f"fused_multistep_heldobs_fps={multistep_held_fps:,.0f}",
           file=sys.stderr)
 
+    # Variance policy: every engine above is best-of-3 chained-launch
+    # rounds, and the headline is the fastest engine's best round.  The
+    # tunnel adds 2-30 ms of per-dispatch wall jitter, so point captures
+    # of this metric scatter; observed cross-round spread at 8192 worlds
+    # is 0.94-1.02 B steps/s (BENCH_r01-r04).  The stderr line above
+    # records every engine's number for the same run.
+    print("[bench] policy: best-of-3 chained rounds per engine; "
+          "observed 8192-world spread across captures 0.94-1.02B",
+          file=sys.stderr)
     value = max(structured_fps, fused_fps, scan_fps, multistep_fps)
     print(json.dumps({
         "metric": f"env_steps_per_sec_{num_worlds}",
         "value": round(value, 1),
         "unit": "steps/s",
         "vs_baseline": None,
+        "method": "best_of_3_chained",
+        "observed_spread_8192": [0.94e9, 1.02e9],
     }))
 
 

@@ -28,5 +28,6 @@ for W in (8192, 65536):
         ts, _ = chunk(ts)
         fetch_sync(ts.sf)
         ms = (time.perf_counter()-t0) / 100 * 1e3
+        sps = W * hp.num_rollout_steps / ms * 1e3 / 1e6
         print(f"[gae-chunk-{W}] round {rnd}: iter={ms:.2f} ms  "
-              f"train_steps/s={W*32/ms*1e3/1e6:.1f}M", flush=True)
+              f"train_steps/s={sps:.1f}M", flush=True)

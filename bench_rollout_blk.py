@@ -9,12 +9,34 @@ is read in iteration milliseconds, not just kernel microseconds.
 Run on the real TPU from the repo root:  python bench_rollout_blk.py [W]
 """
 
+import re
 import sys
 
 import jax
 import jax.numpy as jnp
 
 from madrona_basketball_tpu.utils.benching import bench_ms as bench
+
+
+def fail_line(e: Exception) -> str:
+    """One-line failure reason instead of a multi-KB traceback in the
+    evidence log.  The known case is the scoped-VMEM limit (blk=4096
+    needs ~28.8M > the ~16M budget at 8192 envs); anything else keeps
+    its first line."""
+    msg = str(e)
+    m = re.search(r"Requested (\d+) bytes.*?limit.*?of (\d+) bytes",
+                  msg, re.S)
+    if m and ("vmem" in msg.lower() or "VMEM" in msg):
+        need, limit = (int(m.group(1)) / 2**20, int(m.group(2)) / 2**20)
+        return (f"skipped: exceeds scoped VMEM "
+                f"({need:.2f}M > {limit:.2f}M)")
+    if "RESOURCE_EXHAUSTED" in msg or "vmem" in msg.lower():
+        first = next((ln for ln in msg.splitlines()
+                      if "RESOURCE_EXHAUSTED" in ln or "vmem" in ln.lower()),
+                     msg.splitlines()[0] if msg else repr(e))
+        return f"skipped: {first.strip()[:160]}"
+    return f"FAILED {type(e).__name__}: {msg.splitlines()[0][:160]}" \
+        if msg else f"FAILED {e!r}"
 
 
 def main():
@@ -54,7 +76,7 @@ def main():
                   f"({W * T / t_roll / 1e3:.0f}M env-steps/s in-program)",
                   flush=True)
         except Exception as e:  # noqa: BLE001 — VMEM overflow is data too
-            print(f"blk={blk:5d} rollout_kernel: FAILED {e!r}", flush=True)
+            print(f"blk={blk:5d} rollout_kernel: {fail_line(e)}", flush=True)
             continue
 
         # ---- full iteration with this rollout block ----
@@ -66,7 +88,7 @@ def main():
             print(f"blk={blk:5d} full_iteration: {t_full:7.3f} ms "
                   f"({W * T / t_full / 1e3:.1f}M train steps/s)", flush=True)
         except Exception as e:  # noqa: BLE001
-            print(f"blk={blk:5d} full_iteration: FAILED {e!r}", flush=True)
+            print(f"blk={blk:5d} full_iteration: {fail_line(e)}", flush=True)
 
     # ---- 2-D-tiled prototype (docs/rollout_kernel_tiling.md): first
     # hardware measurement decides whether the policy-boundary relayout
@@ -88,7 +110,7 @@ def main():
                   f"({W * T / t_roll / 1e3:.0f}M env-steps/s in-program)",
                   flush=True)
         except Exception as e:  # noqa: BLE001
-            print(f"blk={blk:5d} tiled_rollout:  FAILED {e!r}", flush=True)
+            print(f"blk={blk:5d} tiled_rollout:  {fail_line(e)}", flush=True)
 
 
 if __name__ == "__main__":

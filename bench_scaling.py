@@ -55,6 +55,16 @@ def sweep(per_device_worlds: int = 4096, rollout_steps: int = 32,
     cfg = DEFAULT_CONFIG
     devices = jax.devices()
     on_tpu = devices[0].platform == "tpu"
+    if not on_tpu:
+        print(
+            "WARNING: non-TPU platform — the 'devices' below are VIRTUAL "
+            "(one host's cores multiplexed), so the efficiency columns "
+            "measure only partitioning overhead on fixed compute.  This "
+            "mode validates the sharding MECHANICS; it is NOT a scaling "
+            "measurement and its efficiency numbers must not be read as "
+            "one.  See BENCHMARKS.md 'Multi-chip scaling' for the "
+            "collective-cost model that addresses BASELINE config 5.",
+            file=sys.stderr, flush=True)
     net, _ = init_agent(jax.random.PRNGKey(0))
 
     sizes = []

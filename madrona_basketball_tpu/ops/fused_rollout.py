@@ -423,13 +423,14 @@ def make_fused_rollout_tiled(cfg: SimConfig, num_worlds: int, n_steps: int,
     identically to the 1-D kernel's.
 
     There is NO layout boundary inside the tick: the obs normalize and
-    the Gumbel-max sampling chains run on tiled tensors, and the three
-    Dense matmuls split into 8 per-sublane-group (32, OBS) @ (OBS, C)
-    MXU calls (policy_forward_tiled) whose outputs are already in tile
-    position.  The first prototype instead relaid ~270 rows per tick
-    through a VMEM scratch to keep the policy segment 1-D; that
-    relayout measured +0.32 ms per iteration at 8192x32 and ate the
-    sim-segment win (BENCHMARKS.md round 4).
+    the Gumbel-max sampling chains run on tiled tensors, and each Dense
+    layer is ONE rank-3 dot_general contracting the feature axis against
+    the whole (..., 8, C) tile (policy_forward_tiled — measurably faster
+    than 8 explicit per-sublane-group matmuls + an output stack), its
+    output already in tile position.  The first prototype instead relaid
+    ~270 rows per tick through a VMEM scratch to keep the policy segment
+    1-D; that relayout measured +0.32 ms per iteration at 8192x32 and
+    ate the sim-segment win (BENCHMARKS.md round 4).
 
     Semantics match make_fused_rollout on identical external noise
     (tests/test_rollout_kernel.py); the on-chip PRNG path draws a
@@ -493,11 +494,11 @@ def make_fused_rollout_tiled(cfg: SimConfig, num_worlds: int, n_steps: int,
 
         # ---- policy on the PRE-TICK obs, FULLY TILED: the Gumbel-max
         # sampling chains run on (N_LOGITS, 8, blk_c) tensors (all 8
-        # sublanes live) and only the Dense matmuls split into 8
-        # per-sublane-group MXU calls (policy_forward_tiled).  No
-        # 1-D <-> tiled relayout anywhere in the tick — the per-tick
-        # ~270-row scratch relayout of the first prototype measured
-        # +0.32 ms at 8192x32 and ate the sim-segment win. ----
+        # sublanes live) and each Dense layer is one rank-3 dot_general
+        # over the whole tile (policy_forward_tiled).  No 1-D <-> tiled
+        # relayout anywhere in the tick — the per-tick ~270-row scratch
+        # relayout of the first prototype measured +0.32 ms at 8192x32
+        # and ate the sim-segment win. ----
         logits, value = policy_forward_tiled(
             obs_out[ti_lo:ti_lo + OBS], *tp)
         actions, logp = sample_rows(logits, gumbel_from_uniform(u_t))

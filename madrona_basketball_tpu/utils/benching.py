@@ -43,6 +43,9 @@ def run_chunked_train(ts, chunk, iters, label, W, T, ch=100,
     ref-scale / evidence-driver scripts — a fix here reaches all of
     them identically.  Returns the final train state."""
     print_every = print_every or ch
+    assert iters % ch == 0, f"iters={iters} must be a multiple of ch={ch}"
+    assert print_every % ch == 0, \
+        f"print_every={print_every} must be a multiple of ch={ch}"
     t0 = time.perf_counter()
     done = 0
     last = (0.0, 0.0)

@@ -257,9 +257,9 @@ def main():
             ts, _st = chunk(ts)
             fetch_scalar(ts.sf)
             ms = (time.perf_counter() - t0) / CH * 1e3
+            sps = 8192 * hp.num_rollout_steps / ms * 1e3 / 1e6
             print(f"[headline] chunked round {rnd}: iter={ms:.2f} ms  "
-                  f"train_steps/s={8192 * 32 / ms * 1e3 / 1e6:.1f}M",
-                  flush=True)
+                  f"train_steps/s={sps:.1f}M", flush=True)
 
     @stage("scale")
     def _scale():
