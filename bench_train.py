@@ -1,7 +1,7 @@
 """Training-iteration benchmark: ms/iteration and train env-steps/s.
 
 Usage: python bench_train.py [kernel|scan] [num_envs] [--no-frozen]
-                             [--fused-gae]   (kernel mode only)
+                             [--fused-gae] [--bf16-traj]   (kernel mode)
 
 Times the full PPO iteration (rollout + GAE + 4x4 minibatch update) for
 the fused trainer, with the rollout either as the policy-in-the-loop
@@ -35,6 +35,10 @@ def main():
     # side assembly as one Pallas pass); without it this times the
     # historical default path for comparability with rounds 2-3.
     fused_gae = "--fused-gae" in sys.argv
+    bf16_traj = "--bf16-traj" in sys.argv
+    if bf16_traj and not fused_gae:
+        sys.exit("--bf16-traj requires --fused-gae (the bf16 trajectory "
+                 "layout is only understood by the fused-GAE consumers)")
     if fused_gae and not use_kernel:
         sys.exit("--fused-gae requires the rollout kernel "
                  "(it consumes the kernel's trajectory layout); "
@@ -46,7 +50,8 @@ def main():
     ts = init_fused_train_state(cfg, hp, net, jax.random.PRNGKey(1))
     ti = make_train_iteration_fused(cfg, hp, net, backend="pallas",
                                     rollout_kernel=use_kernel,
-                                    fused_gae=fused_gae)
+                                    fused_gae=fused_gae,
+                                    bf16_traj=bf16_traj)
     t0 = time.perf_counter()
     ts, m = ti(ts)
     fetch_sync(ts.sf)
@@ -62,7 +67,8 @@ def main():
         samples.append((time.perf_counter() - t0) / 20)
     best = min(samples)
     print(f"mode={'kernel' if use_kernel else 'scan'}"
-          f"{'+gae' if fused_gae else ''} W={W} "
+          f"{'+gae' if fused_gae else ''}"
+          f"{'+bf16' if bf16_traj else ''} W={W} "
           f"frozen={use_frozen} iter={best * 1e3:.2f} ms  "
           f"train_steps/s={W * hp.num_rollout_steps / best / 1e6:.1f}M  "
           f"samples_ms={[round(s * 1e3, 2) for s in samples]}")

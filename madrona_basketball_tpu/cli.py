@@ -110,6 +110,21 @@ def build_parser() -> argparse.ArgumentParser:
                         "default, kept for A/B; docs/"
                         "rollout_kernel_tiling.md); needs the per-device "
                         "world count divisible by 1024")
+    p.add_argument("--bf16-traj", action="store_true", default=False,
+                   help="flagship trainer only (rollout kernel + fused "
+                        "grads + fused GAE): store the rollout "
+                        "trajectory in bfloat16 (kernel math stays "
+                        "f32), halving the update phase's dominant HBM "
+                        "re-read traffic; exactness vs the f32 chain "
+                        "on the same rounded values is pinned by "
+                        "tests/test_bf16_traj.py, convergence by the "
+                        "round-5 same-seed A/B (BENCHMARKS.md)")
+    p.add_argument("--bf16-policy", action="store_true", default=False,
+                   help="rollout-kernel trainer only: bf16 operands for "
+                        "the in-kernel policy matmuls (f32 accumulation "
+                        "— the MXU's native input width).  Numerics "
+                        "deviation gated on the round-5 convergence A/B "
+                        "(BENCHMARKS.md)")
     p.add_argument("--rollout-block", type=int, default=0,
                    help="rollout-kernel trainer only: worlds per kernel "
                         "block (0 = the VMEM-safe 1024 default; larger "
@@ -359,7 +374,9 @@ def main(argv=None):
             fused_grads=args.fused_grads,
             fused_gae=args.fused_gae,
             rollout_block=args.rollout_block or None,
-            rollout_tiled=args.rollout_tiled)
+            rollout_tiled=args.rollout_tiled,
+            bf16_traj=args.bf16_traj,
+            bf16_policy=args.bf16_policy)
         if mesh is not None:
             from .parallel.mesh import shard_fused_train_state
             ts = shard_fused_train_state(ts, mesh)

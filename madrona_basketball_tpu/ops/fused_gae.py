@@ -57,7 +57,8 @@ def pick_gae_block(W: int, cap: int = 1024) -> int:
 
 def make_fused_gae(T: int, W: int, gamma: float, lam: float,
                    r_value: int, r_rew: int, r_done: int,
-                   gb: int | None = None, interpret: bool = False):
+                   gb: int | None = None, interpret: bool = False,
+                   traj_dtype=F32):
     """Build gae_fn(traj (T, rows, W), carry (2, W), next_value_n
     (1, W), vstats (1, VSTAT_COLS)) ->
     (side (T, SIDE_ROWS, W), moments (n_blocks, 8), carry' (2, W),
@@ -84,14 +85,16 @@ def make_fused_gae(T: int, W: int, gamma: float, lam: float,
     n_blocks = W // gb
     n_per = float(T * gb)
     # Mosaic requires the block's second-to-last dim to be a multiple of
-    # 8 (the f32 sublane tile) — a (T, 1, gb) single-row slice of the
-    # trajectory fails to lower on real TPU (interpret mode does not
-    # check).  Stream one (T, 8, gb) operand per aligned 8-row window
-    # touching {r_value, r_rew, r_done} and slice in-kernel.
-    windows = sorted({r // 8 for r in (r_value, r_rew, r_done)})
+    # the sublane tile (8 for f32, 16 for bf16) — a (T, 1, gb)
+    # single-row slice of the trajectory fails to lower on real TPU
+    # (interpret mode does not check).  Stream one (T, ww, gb) operand
+    # per aligned ww-row window touching {r_value, r_rew, r_done} and
+    # slice in-kernel (upcasting bf16 trajectories to f32 on load).
+    ww = 8 if traj_dtype == F32 else 16
+    windows = sorted({r // ww for r in (r_value, r_rew, r_done)})
 
     def locate(r):
-        return windows.index(r // 8), r % 8
+        return windows.index(r // ww), r % ww
 
     def kernel(*refs):
         w_refs = refs[:len(windows)]
@@ -100,7 +103,7 @@ def make_fused_gae(T: int, W: int, gamma: float, lam: float,
 
         def row(r):
             wi, off = locate(r)
-            return w_refs[wi][:, off, :]                        # (T, gb)
+            return w_refs[wi][:, off, :].astype(F32)            # (T, gb)
 
         vs = vs_ref[...]                        # (1, VSTAT_COLS)
         vmean = vs[0, 0]
@@ -176,7 +179,7 @@ def make_fused_gae(T: int, W: int, gamma: float, lam: float,
             kernel,
             grid=(n_blocks,),
             in_specs=[
-                pl.BlockSpec((T, 8, gb), lambda i, w=w: (0, w, i),
+                pl.BlockSpec((T, ww, gb), lambda i, w=w: (0, w, i),
                              memory_space=pltpu.VMEM)
                 for w in windows
             ] + [
@@ -246,7 +249,7 @@ def chan_fold(out_ref, x, n_tile: float, first):
 
 
 def make_obs_moments(T: int, W: int, used: int, gb: int | None = None,
-                     interpret: bool = False):
+                     interpret: bool = False, traj_dtype=F32):
     """One-pass per-feature obs moments over the trajectory buffer.
 
     The XLA obs-normalizer update (models/normalize.rms_update_padded_tdw)
@@ -264,13 +267,15 @@ def make_obs_moments(T: int, W: int, used: int, gb: int | None = None,
     assert W % gb == 0
     n_wb = W // gb
     fgb = float(gb)
-    # sublane-aligned DMA: `used` (103) is not a multiple of 8, so the
-    # streamed block rounds up and the kernel slices the live rows
-    used_pad = -(-used // 8) * 8
+    # sublane-aligned DMA: `used` (103) is not a multiple of the
+    # sublane tile (8 for f32, 16 for bf16), so the streamed block
+    # rounds up and the kernel slices the live rows
+    align = 8 if traj_dtype == F32 else 16
+    used_pad = -(-used // align) * align
 
     def kernel(x_ref, out_o):
         i = pl.program_id(0)
-        chan_fold(out_o, x_ref[0, :used], fgb, i == 0)
+        chan_fold(out_o, x_ref[0, :used].astype(F32), fgb, i == 0)
 
     def mom_fn(traj):
         call = pl.pallas_call(

@@ -136,19 +136,30 @@ def _layer_norm(x, scale, b):
     return (x - mu) * jax.lax.rsqrt(var + LN_EPS) * scale + b
 
 
-def policy_forward_rows(obs_block, nrm, w1t, w2t, wht, bias):
+def policy_forward_rows(obs_block, nrm, w1t, w2t, wht, bias,
+                        mm_dtype=F32):
     """(OBS, B) raw obs -> (logits (N_LOGITS, B), value (B,)).
 
     Same math as models.agent.forward's normalize + net.apply, expressed
     feature-major so the Dense layers hit the MXU as (32, OBS) @ (OBS, B).
+
+    mm_dtype=bfloat16 casts each matmul's operands to bf16 (f32
+    accumulation) — the MXU's native input width, skipping the
+    multi-pass f32 emulation.  Normalize/LayerNorm/ReLU and every
+    add stay f32.  A numerics deviation (logits move ~1e-3 relative),
+    so it rides behind the trainer's bf16_policy flag and is gated on
+    the round-5 convergence A/B, like shuffle_block (PARITY.md).
     """
+    def dot(w, v):
+        return jnp.dot(w.astype(mm_dtype), v.astype(mm_dtype),
+                       preferred_element_type=F32)
+
     x = jnp.clip((obs_block - nrm[:, 0:1]) * nrm[:, 1:2], -5.0, 5.0)
-    h = jnp.dot(w1t, x, preferred_element_type=F32) + bias[:, 0:1]
+    h = dot(w1t, x) + bias[:, 0:1]
     h = jnp.maximum(_layer_norm(h, bias[:, 1:2], bias[:, 2:3]), 0.0)
-    h = jnp.dot(w2t, h, preferred_element_type=F32) + bias[:, 3:4]
+    h = dot(w2t, h) + bias[:, 3:4]
     h = jnp.maximum(_layer_norm(h, bias[:, 4:5], bias[:, 5:6]), 0.0)
-    out = jnp.dot(wht, h, preferred_element_type=F32) + \
-        bias[0:N_LOGITS + 1, 6:7]
+    out = dot(wht, h) + bias[0:N_LOGITS + 1, 6:7]
     return out[0:N_LOGITS], out[N_LOGITS]
 
 
@@ -230,7 +241,10 @@ def make_fused_rollout(cfg: SimConfig, num_worlds: int, n_steps: int,
                        block: int = 1024, interpret: bool = False,
                        external_noise: bool = False,
                        obs_moments: bool = False,
-                       max_block: int = 1024):
+                       max_block: int = 1024,
+                       traj_dtype=F32,
+                       policy_bf16: bool = False,
+                       probe: str | None = None):
     """Build the T-step policy-in-the-loop rollout kernel.
 
     Returns
@@ -254,8 +268,36 @@ def make_fused_rollout(cfg: SimConfig, num_worlds: int, n_steps: int,
 
     The initial obs0 must be the observation produced by the step before
     the rollout starts (the reset pulse), matching scripts/ppo.py:64-67.
+
+    `traj_dtype=jnp.bfloat16` stores the trajectory rows bf16 (all
+    in-kernel math stays f32; rows round-to-nearest-even on store),
+    halving the trajectory's HBM write traffic here and its read
+    traffic in every downstream kernel (the update phase re-reads it
+    update_epochs times — the iteration's dominant HBM term,
+    BENCHMARKS.md round 5).  Sim state / obs outputs stay f32.  bf16
+    Mosaic stores need 16-row sublane alignment, so rows are written
+    as two aligned groups ([0:R_VALUE] pre-tick, [R_VALUE:ROLL_ROWS]
+    post-tick) instead of per-row.
+
+    `policy_bf16` runs the in-kernel policy matmuls with bf16 operands
+    (f32 accumulation) — see policy_forward_rows.
+
+    `probe` builds a TIMING-ONLY variant for the attribution bench
+    (bench_rollout_attr.py): "sim_only" skips the policy forward +
+    sampling (trajectory rows that would carry them are zero),
+    "policy_only" skips the sim tick (state frozen, rew/done zero),
+    "no_prng" replaces the on-chip PRNG draws with constants, and
+    "no_traj" keeps all compute but gives the trajectory a t-invariant
+    single-tick output block (flushed once per world block, killing
+    ~31/32 of the HBM write traffic).  Probes deliberately break the
+    training semantics; nothing in the production path may pass one.
     """
     assert n_steps >= 1
+    assert probe in (None, "sim_only", "policy_only", "no_prng",
+                     "no_traj")
+    if traj_dtype != F32:
+        assert traj_dtype == jnp.bfloat16
+        assert R_VALUE % 16 == 0 and ROLL_ROWS % 16 == 0
     # Default 1024-lane cap keeps VMEM comfortable (387 state rows +
     # a double-buffered 128-row trajectory window ~= 2.6 MB/KiB-block);
     # raise max_block to sweep larger blocks (fewer grid steps, more
@@ -290,7 +332,12 @@ def make_fused_rollout(cfg: SimConfig, num_worlds: int, n_steps: int,
             si_out[...] = si_in[...]
             obs_out[...] = obs0_in[...]
 
-        if external_noise:
+        if probe == "no_prng" and not external_noise:
+            sim_noise = [jnp.zeros((blk,), F32)
+                         for _ in range(N_NOISE_ROWS)]
+            u_t = jnp.full((N_LOGITS, blk), 0.5, F32)
+            u_f = jnp.full((N_LOGITS, blk), 0.5, F32)
+        elif external_noise:
             chunk = rng_ref[...]  # (EXT_NOISE_CHUNK, blk)
             sim_noise = [chunk[r] for r in range(N_NOISE_ROWS)]
             u_t = chunk[EXT_TRAINEE_U:EXT_TRAINEE_U + N_LOGITS]
@@ -313,50 +360,91 @@ def make_fused_rollout(cfg: SimConfig, num_worlds: int, n_steps: int,
 
         # ---- policy forward + sampling on the PRE-TICK observation ----
         obs_t = obs_out[ti_lo:ti_lo + OBS, :]
-        logits, value = policy_forward_rows(obs_t, *tp)
-        actions, logp = sample_rows(logits, gumbel_from_uniform(u_t))
-        for j in range(6):
-            si_out[t_rows[j]] = actions[j]
-        if use_frozen:
-            f_logits, _ = policy_forward_rows(
-                obs_out[fi_lo:fi_lo + OBS, :], *fp)
-            f_actions, _ = sample_rows(f_logits, gumbel_from_uniform(u_f))
+        pol_dt = jnp.bfloat16 if policy_bf16 else F32
+        if probe == "sim_only":
+            actions = [jnp.zeros((blk,), I32) for _ in range(6)]
+            logp = jnp.zeros((blk,), F32)
+            value = jnp.zeros((blk,), F32)
+        else:
+            logits, value = policy_forward_rows(obs_t, *tp,
+                                                mm_dtype=pol_dt)
+            actions, logp = sample_rows(logits, gumbel_from_uniform(u_t))
             for j in range(6):
-                si_out[f_rows[j]] = f_actions[j]
+                si_out[t_rows[j]] = actions[j]
+            if use_frozen:
+                f_logits, _ = policy_forward_rows(
+                    obs_out[fi_lo:fi_lo + OBS, :], *fp, mm_dtype=pol_dt)
+                f_actions, _ = sample_rows(f_logits,
+                                           gumbel_from_uniform(u_f))
+                for j in range(6):
+                    si_out[f_rows[j]] = f_actions[j]
 
-        traj[0, 0:ROLL_OBS, :] = obs_t[0:ROLL_OBS]
         if obs_moments:
             # fold this tile's per-feature (mean, M2) into the running
             # obs-normalizer moments (Chan incremental merge) while the
             # obs rows are still in VMEM — replaces the post-rollout
             # full-trajectory reduction (ops/fused_gae.make_obs_moments)
-            # on the single-shard path
+            # on the single-shard path.  Under bf16 storage the moments
+            # fold the PRE-quantization f32 obs (the values the policy
+            # actually saw); the update kernel then normalizes the
+            # quantized obs with these stats — a sub-bf16-ulp skew.
             chan_fold(mom_o, obs_t[0:ROLL_OBS], float(blk),
                       (b == 0) & (t == 0))
-        for j in range(6):
-            traj[0, R_ACT + j] = actions[j].astype(F32)
-        traj[0, R_LOGP] = logp
-        traj[0, R_VALUE] = value
-        for r in (*range(R_LOGP + 1, R_VALUE),
-                  *range(R_DONE + 1, ROLL_ROWS)):
-            traj[0, r] = jnp.zeros((blk,), F32)
+        if probe == "no_traj":
+            # t-invariant single-tick block: one zero-fill per world
+            # block, flushed once — kills the per-tick write stream.
+            @pl.when(t == 0)
+            def _():
+                traj[...] = jnp.zeros_like(traj)
+        elif traj_dtype != F32:
+            # 16-row-aligned group store: bf16 sublane tiles are 16
+            # rows, so per-row stores would be sub-tile writes.
+            pre = jnp.concatenate(
+                [obs_t[0:ROLL_OBS]] +
+                [actions[j].astype(F32)[None] for j in range(6)] +
+                [logp[None],
+                 jnp.zeros((R_VALUE - R_LOGP - 1, blk), F32)], axis=0)
+            traj[0, 0:R_VALUE, :] = pre.astype(traj_dtype)
+        else:
+            traj[0, 0:ROLL_OBS, :] = obs_t[0:ROLL_OBS]
+            for j in range(6):
+                traj[0, R_ACT + j] = actions[j].astype(F32)
+            traj[0, R_LOGP] = logp
+            traj[0, R_VALUE] = value
+            for r in (*range(R_LOGP + 1, R_VALUE),
+                      *range(R_DONE + 1, ROLL_ROWS)):
+                traj[0, r] = jnp.zeros((blk,), F32)
 
         # ---- sim tick (all 19 systems, obs computed) ----
-        sf = [sf_out[r] for r in range(N_F32_ROWS)]
-        si = [si_out[r] for r in range(N_I32_ROWS)]
-        ag, ball, game, hoops = _load_dicts(sf, si)
-        ag, ball, game, hoops, obs = step_fields(
-            cfg, ag, ball, game, hoops, _noise_dict(sim_noise),
-            compute_obs=True)
-        sf2, si2 = _store_rows(ag, ball, game, hoops)
-        for r in range(N_F32_ROWS):
-            sf_out[r] = sf2[r]
-        for r in range(N_I32_ROWS):
-            si_out[r] = si2[r]
-        for r in range(N_OBS_ROWS):
-            obs_out[r] = obs[r]
-        traj[0, R_REW] = sf2[rew_row]
-        traj[0, R_DONE] = sf2[done_row]
+        if probe == "policy_only":
+            rew = jnp.zeros((blk,), F32)
+            done = jnp.zeros((blk,), F32)
+        else:
+            sf = [sf_out[r] for r in range(N_F32_ROWS)]
+            si = [si_out[r] for r in range(N_I32_ROWS)]
+            ag, ball, game, hoops = _load_dicts(sf, si)
+            ag, ball, game, hoops, obs = step_fields(
+                cfg, ag, ball, game, hoops, _noise_dict(sim_noise),
+                compute_obs=True)
+            sf2, si2 = _store_rows(ag, ball, game, hoops)
+            for r in range(N_F32_ROWS):
+                sf_out[r] = sf2[r]
+            for r in range(N_I32_ROWS):
+                si_out[r] = si2[r]
+            for r in range(N_OBS_ROWS):
+                obs_out[r] = obs[r]
+            rew = sf2[rew_row]
+            done = sf2[done_row]
+        if probe == "no_traj":
+            pass
+        elif traj_dtype != F32:
+            post = jnp.concatenate(
+                [value[None], rew[None], done[None],
+                 jnp.zeros((ROLL_ROWS - R_DONE - 1, blk), F32)], axis=0)
+            traj[0, R_VALUE:ROLL_ROWS, :] = post.astype(traj_dtype)
+        else:
+            traj[0, R_REW] = rew
+            traj[0, R_DONE] = done
 
     def state_spec(rows):
         return pl.BlockSpec((rows, blk), lambda b, t: (0, b),
@@ -377,15 +465,19 @@ def make_fused_rollout(cfg: SimConfig, num_worlds: int, n_steps: int,
     in_specs = ([rng_spec, state_spec(N_F32_ROWS), state_spec(N_I32_ROWS),
                  state_spec(N_OBS_ROWS)] +
                 policy_specs * (2 if use_frozen else 1))
+    traj_steps = 1 if probe == "no_traj" else n_steps
+    traj_map = (lambda b, t: (0, 0, b)) if probe == "no_traj" else \
+        (lambda b, t: (t, 0, b))
     out_specs = [state_spec(N_F32_ROWS), state_spec(N_I32_ROWS),
                  state_spec(N_OBS_ROWS),
-                 pl.BlockSpec((1, ROLL_ROWS, blk), lambda b, t: (t, 0, b),
+                 pl.BlockSpec((1, ROLL_ROWS, blk), traj_map,
                               memory_space=pltpu.VMEM)]
     out_shape = [
         jax.ShapeDtypeStruct((N_F32_ROWS, num_worlds), F32),
         jax.ShapeDtypeStruct((N_I32_ROWS, num_worlds), I32),
         jax.ShapeDtypeStruct((N_OBS_ROWS, num_worlds), F32),
-        jax.ShapeDtypeStruct((n_steps, ROLL_ROWS, num_worlds), F32),
+        jax.ShapeDtypeStruct((traj_steps, ROLL_ROWS, num_worlds),
+                             traj_dtype),
     ]
     if obs_moments:
         out_specs.append(const_spec((ROLL_OBS, 8)))

@@ -324,7 +324,8 @@ SIDE_ROWS = 8    # padded to a full f32 sublane tile
 
 
 def make_fused_minibatch_grad_prefetch(hp, D: int, T: int, W: int,
-                                       wb: int, interpret: bool = False):
+                                       wb: int, interpret: bool = False,
+                                       traj_dtype=F32):
     """Scalar-prefetch minibatch gradient: the epoch shuffle costs ZERO
     data movement.
 
@@ -369,7 +370,7 @@ def make_fused_minibatch_grad_prefetch(hp, D: int, T: int, W: int,
             dwh_o[...] = jnp.zeros_like(dwh_o)
             dbias_o[...] = jnp.zeros_like(dbias_o)
 
-        blk = traj_blk[0]                     # (ROWS, wb) feature-major
+        blk = traj_blk[0].astype(F32)         # (ROWS, wb) feature-major
         sd = side_blk[0]                      # (SIDE_ROWS, wb)
         _block_grads(hp, inv_mb,
                      blk[0:D], blk[D:D + K], blk[D + K],
@@ -387,9 +388,11 @@ def make_fused_minibatch_grad_prefetch(hp, D: int, T: int, W: int,
 
     def grad_fn(idx, traj, side, nrm, w1t, w2t, wht, bias):
         # obs + actions + logp; the rest never read.  Rounded up to a
-        # full 8-row f32 sublane tile so the second-minor block dim
-        # stays Mosaic-aligned (the kernel slices only rows 0..D+K).
-        rows = -(-(D + K + 1) // 8) * 8
+        # full sublane tile (8 rows f32, 16 rows bf16) so the
+        # second-minor block dim stays Mosaic-aligned (the kernel
+        # slices only rows 0..D+K).
+        align = 8 if traj_dtype == F32 else 16
+        rows = -(-(D + K + 1) // align) * align
         gs = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
@@ -453,7 +456,8 @@ def unpack_weights(old_tree, w1t, w2t, wht, bias, D: int):
 
 def make_fused_update_phase(hp, D: int, T: int, W: int, wb: int,
                             interpret: bool = False,
-                            raw_side: bool = False):
+                            raw_side: bool = False,
+                            traj_dtype=F32):
     """The ENTIRE PPO update phase — epochs x shuffled minibatches of
     gradient + global-norm clip + Adam — as ONE Pallas launch.
 
@@ -542,7 +546,7 @@ def make_fused_update_phase(hp, D: int, T: int, W: int, wb: int,
             for g in g_s:
                 g[...] = jnp.zeros_like(g)
 
-        blk = traj_blk[0]
+        blk = traj_blk[0].astype(F32)
         sd = side_blk[0]
         if raw_side:
             us = ustats_r[...]
@@ -609,9 +613,10 @@ def make_fused_update_phase(hp, D: int, T: int, W: int, wb: int,
         # the kernel touches only rows 0..D+K (obs, actions, logp) of
         # each trajectory block — v_old/adv/ret ride in `side` — so the
         # DMA block stops there instead of pulling all ROLL_ROWS.
-        # Rounded up to a full 8-row f32 sublane tile for Mosaic
-        # alignment (the kernel slices only rows 0..D+K).
-        rows = -(-(D + K + 1) // 8) * 8
+        # Rounded up to a full sublane tile (8 rows f32, 16 rows bf16)
+        # for Mosaic alignment (the kernel slices only rows 0..D+K).
+        align = 8 if traj_dtype == F32 else 16
+        rows = -(-(D + K + 1) // align) * align
         gs = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=grid,

@@ -82,7 +82,9 @@ def make_train_iteration_fused(cfg: SimConfig, hp: PPOParams,
                                fused_grads: bool = True,
                                fused_gae: bool = False,
                                rollout_block: int | None = None,
-                               rollout_tiled: bool = False):
+                               rollout_tiled: bool = False,
+                               bf16_traj: bool = False,
+                               bf16_policy: bool = False):
     """`mesh`: optional jax.sharding.Mesh with a 'data' axis.  When given,
     the sim kernel runs under shard_map with worlds split across devices
     (a Pallas custom call does not auto-partition); everything else (policy,
@@ -112,6 +114,16 @@ def make_train_iteration_fused(cfg: SimConfig, hp: PPOParams,
     if rollout_tiled and not rollout_kernel:
         raise ValueError("rollout_tiled selects the 2-D-tiled variant of "
                          "the rollout kernel; pass rollout_kernel=True")
+    if bf16_traj and not (fused_gae and not rollout_tiled):
+        raise ValueError("bf16_traj requires the flagship path "
+                         "(rollout_kernel + fused_grads + fused_gae, "
+                         "untiled): only its Pallas consumers understand "
+                         "the bf16 trajectory layout")
+    if bf16_policy and not (rollout_kernel and not rollout_tiled):
+        raise ValueError("bf16_policy selects bf16 matmul operands "
+                         "inside the (untiled) rollout kernel; pass "
+                         "rollout_kernel=True")
+    traj_dtype = jnp.bfloat16 if bf16_traj else F32
     ti = hp.trainee_idx
     fi = 1 - ti
     T = hp.num_rollout_steps
@@ -247,7 +259,9 @@ def make_train_iteration_fused(cfg: SimConfig, hp: PPOParams,
                 interpret=rollout_interpret,
                 external_noise=rollout_interpret,
                 obs_moments=rk_obs_moments,
-                max_block=(rollout_block or 1024))
+                max_block=(rollout_block or 1024),
+                traj_dtype=traj_dtype,
+                policy_bf16=bf16_policy)
         if mesh is not None:
             from jax.sharding import PartitionSpec as P
             from jax import shard_map
@@ -326,7 +340,8 @@ def make_train_iteration_fused(cfg: SimConfig, hp: PPOParams,
             ufp = FU.make_fused_update_phase(hp, FR.ROLL_OBS, T,
                                              hp.num_envs, wb,
                                              interpret=rollout_interpret,
-                                             raw_side=fused_gae)
+                                             raw_side=fused_gae,
+                                             traj_dtype=traj_dtype)
             if fused_gae:
                 # GAE + side-array assembly as one Pallas pass; the
                 # side rows stay RAW and the update kernel normalizes
@@ -337,10 +352,12 @@ def make_train_iteration_fused(cfg: SimConfig, hp: PPOParams,
                 gae_kernel = FG.make_fused_gae(
                     T, hp.num_envs, hp.gamma, hp.gae_lambda,
                     FR.R_VALUE, FR.R_REW, FR.R_DONE,
-                    interpret=rollout_interpret)
+                    interpret=rollout_interpret,
+                    traj_dtype=traj_dtype)
                 obs_mom_kernel = None if rk_obs_moments else \
                     FG.make_obs_moments(T, hp.num_envs, FR.ROLL_OBS,
-                                        interpret=rollout_interpret)
+                                        interpret=rollout_interpret,
+                                        traj_dtype=traj_dtype)
 
             def update_policy_traj(agent, opt_state, traj, side, key,
                                    ustats=None):
