@@ -34,7 +34,7 @@ import jax.numpy as jnp
 from madrona_basketball_tpu.utils.benching import bench_ms as bench
 
 
-def main():
+def main(W: int = 8192, quick: bool = False):
     from madrona_basketball_tpu.utils.profiling import enable_compile_cache
     enable_compile_cache()
     from madrona_basketball_tpu.config import SimConfig
@@ -44,8 +44,6 @@ def main():
     from madrona_basketball_tpu.ppo.train_fused import \
         init_fused_train_state
 
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    W = int(args[0]) if args else 8192
     T = 32
     cfg = SimConfig()
     hp = PPOParams(num_envs=W, use_frozen=True)
@@ -98,7 +96,7 @@ def main():
                 print(f"[attr]   {label:16s} saves {full - v:6.3f} ms "
                       f"-> {v:.3f} ms", flush=True)
 
-    if "--quick" not in sys.argv:
+    if not quick:
         print("[attr] --- T-sweep (full kernel) ---", flush=True)
         pts = []
         for t_len in (1, 4, 16, 32):
@@ -121,4 +119,6 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    _pos = [a for a in sys.argv[1:] if not a.startswith("--")]
+    main(W=int(_pos[0]) if _pos else 8192,
+         quick="--quick" in sys.argv)

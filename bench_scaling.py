@@ -167,6 +167,30 @@ def sweep(per_device_worlds: int = 4096, rollout_steps: int = 32,
             best = min(best, time.perf_counter() - t0)
         train_rate = W * rollout_steps / best
 
+        # ---- (c) dp-update train iteration (TPU only: the flagship
+        # Pallas path; the psum-synced learner of BASELINE config 5 —
+        # trajectory stays on its shard, ~21 KB gradient psum per
+        # minibatch).  At n=1 this reads the dp machinery's overhead
+        # over the flagship phase kernel. ----
+        dp_rate = 0.0
+        if on_tpu:
+            hp_dp = PPOParams(num_envs=W, num_rollout_steps=rollout_steps)
+            ts_dp = shard_fused_train_state(
+                TF.init_fused_train_state(cfg, hp_dp, net,
+                                          jax.random.PRNGKey(1)), mesh)
+            it_dp = TF.make_train_iteration_fused(
+                cfg, hp_dp, net, backend="pallas", mesh=mesh,
+                rollout_kernel=True, fused_gae=True, dp_update=True)
+            ts_dp, _m = it_dp(ts_dp)
+            _fetch(ts_dp.agent.params)
+            best = float("inf")
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                ts_dp, _m = it_dp(ts_dp)
+                _fetch(ts_dp.agent.params)
+                best = min(best, time.perf_counter() - t0)
+            dp_rate = W * rollout_steps / best
+
         base_sim = base_sim or sim_rate
         base_train = base_train or train_rate
         rec = {
@@ -178,6 +202,8 @@ def sweep(per_device_worlds: int = 4096, rollout_steps: int = 32,
         }
         if ms_rate:
             rec["multistep_steps_per_sec"] = round(ms_rate, 1)
+        if dp_rate:
+            rec["dp_train_env_steps_per_sec"] = round(dp_rate, 1)
         print(json.dumps(rec))
 
 

@@ -94,6 +94,16 @@ def build_parser() -> argparse.ArgumentParser:
                    help="shard worlds over ALL attached devices (data "
                         "mesh axis); learner replicates and gradient "
                         "sync rides ICI")
+    p.add_argument("--dp-update", action="store_true", default=False,
+                   help="with --data-parallel + the fused-GAE flagship "
+                        "path: shard the GAE + update phase too (the "
+                        "trajectory never leaves its shard; the ~21 KB "
+                        "packed gradient psums per minibatch and "
+                        "clip+Adam replicates) — the psum-synced "
+                        "learner of BASELINE config 5.  Without it the "
+                        "update replicates over a gathered trajectory "
+                        "(fine to ~4 chips at 8192 envs; see "
+                        "BENCHMARKS.md round 5 scaling model)")
     p.add_argument("--distributed", action="store_true", default=False,
                    help="call jax.distributed.initialize() first (run "
                         "the same command on every host of a pod slice)")
@@ -367,6 +377,10 @@ def main(argv=None):
                 "--fused-gae requires the rollout kernel and fused "
                 "gradients (drop --no-rollout-kernel/--no-fused-grads/"
                 "--viewer, or drop --fused-gae)")
+        if args.dp_update and (mesh is None or not args.fused_gae):
+            raise SystemExit(
+                "--dp-update requires --data-parallel and the fused-GAE "
+                "flagship path")
         train_iteration = make_train_iteration_fused(
             cfg, hp, net,
             backend="pallas" if backend == "fused" else "xla",
@@ -376,7 +390,8 @@ def main(argv=None):
             rollout_block=args.rollout_block or None,
             rollout_tiled=args.rollout_tiled,
             bf16_traj=args.bf16_traj,
-            bf16_policy=args.bf16_policy)
+            bf16_policy=args.bf16_policy,
+            dp_update=args.dp_update)
         if mesh is not None:
             from .parallel.mesh import shard_fused_train_state
             ts = shard_fused_train_state(ts, mesh)

@@ -84,7 +84,8 @@ def make_train_iteration_fused(cfg: SimConfig, hp: PPOParams,
                                rollout_block: int | None = None,
                                rollout_tiled: bool = False,
                                bf16_traj: bool = False,
-                               bf16_policy: bool = False):
+                               bf16_policy: bool = False,
+                               dp_update: bool = False):
     """`mesh`: optional jax.sharding.Mesh with a 'data' axis.  When given,
     the sim kernel runs under shard_map with worlds split across devices
     (a Pallas custom call does not auto-partition); everything else (policy,
@@ -123,6 +124,12 @@ def make_train_iteration_fused(cfg: SimConfig, hp: PPOParams,
         raise ValueError("bf16_policy selects bf16 matmul operands "
                          "inside the (untiled) rollout kernel; pass "
                          "rollout_kernel=True")
+    if dp_update and not (mesh is not None and fused_gae
+                          and not rollout_tiled):
+        raise ValueError("dp_update shards the update phase over the "
+                         "data mesh (per-minibatch gradient psum); it "
+                         "requires a mesh and the (untiled) fused-GAE "
+                         "flagship path")
     traj_dtype = jnp.bfloat16 if bf16_traj else F32
     ti = hp.trainee_idx
     fi = 1 - ti
@@ -229,10 +236,13 @@ def make_train_iteration_fused(cfg: SimConfig, hp: PPOParams,
         # instead (same program structure and shardings).
         # On the single-shard path the rollout kernel also accumulates
         # the obs-normalizer moments in place (the obs tiles are already
-        # in VMEM); under a mesh the per-shard moments would need an
-        # extra combine, so the sharded fused-GAE path keeps the
-        # separate one-pass moments kernel over the gathered trajectory.
-        rk_obs_moments = fused_gae and mesh is None and not rollout_tiled
+        # in VMEM); under a plain mesh the per-shard moments would need
+        # an extra combine, so the gather-based sharded fused-GAE path
+        # keeps the separate one-pass moments kernel.  The dp_update
+        # path DOES the cross-shard Chan combine (it never gathers the
+        # trajectory), so it re-enables the in-rollout moments.
+        rk_obs_moments = fused_gae and not rollout_tiled and \
+            (mesh is None or dp_update)
         # rollout_block overrides the default 1024-lane cap (the VMEM-
         # safe default); larger blocks mean fewer grid steps per launch
         # — see bench_rollout_blk.py for the measured sweep.
@@ -268,10 +278,15 @@ def make_train_iteration_fused(cfg: SimConfig, hp: PPOParams,
             rs = P(None, "data")
             n_p = 5 * (2 if hp.use_frozen else 1)
             rng_spec = rs if rollout_interpret else P("data", None)
+            out_sp = (rs, rs, rs, P(None, None, "data"))
+            if rk_obs_moments:
+                # per-shard (ROLL_OBS, 8) moment blocks stack along the
+                # data axis; the caller Chan-combines them (dp_update)
+                out_sp = out_sp + (P("data", None),)
             rk = shard_map(
                 rk, mesh=mesh,
                 in_specs=(rng_spec, rs, rs, rs) + (P(),) * n_p,
-                out_specs=(rs, rs, rs, P(None, None, "data")),
+                out_specs=out_sp,
                 check_vma=False)
 
         def make_rng_arg(ks):
@@ -337,11 +352,12 @@ def make_train_iteration_fused(cfg: SimConfig, hp: PPOParams,
             # prefer more data-parallel shards over bigger per-shard
             # worlds.  Parity asserted in __graft_entry__.dryrun and
             # tests/test_parallel.py.
-            ufp = FU.make_fused_update_phase(hp, FR.ROLL_OBS, T,
-                                             hp.num_envs, wb,
-                                             interpret=rollout_interpret,
-                                             raw_side=fused_gae,
-                                             traj_dtype=traj_dtype)
+            if not dp_update:
+                ufp = FU.make_fused_update_phase(
+                    hp, FR.ROLL_OBS, T, hp.num_envs, wb,
+                    interpret=rollout_interpret,
+                    raw_side=fused_gae,
+                    traj_dtype=traj_dtype)
             if fused_gae:
                 # GAE + side-array assembly as one Pallas pass; the
                 # side rows stay RAW and the update kernel normalizes
@@ -350,14 +366,129 @@ def make_train_iteration_fused(cfg: SimConfig, hp: PPOParams,
                 # over the trajectory too (make_obs_moments).
                 from ..ops import fused_gae as FG
                 gae_kernel = FG.make_fused_gae(
-                    T, hp.num_envs, hp.gamma, hp.gae_lambda,
+                    T, worlds_per_shard if dp_update else hp.num_envs,
+                    hp.gamma, hp.gae_lambda,
                     FR.R_VALUE, FR.R_REW, FR.R_DONE,
                     interpret=rollout_interpret,
                     traj_dtype=traj_dtype)
+                gae_gb = gae_kernel.gb
                 obs_mom_kernel = None if rk_obs_moments else \
                     FG.make_obs_moments(T, hp.num_envs, FR.ROLL_OBS,
                                         interpret=rollout_interpret,
                                         traj_dtype=traj_dtype)
+                if dp_update:
+                    # GAE is per-world independent: run the kernel on
+                    # each shard's worlds; block-moment/stat rows stack
+                    # along the data axis (one more block batch for the
+                    # same closed-form Chan combines).  The trajectory
+                    # never leaves its shard.
+                    from jax.sharding import PartitionSpec as P
+                    from jax import shard_map
+                    gae_kernel = shard_map(
+                        gae_kernel, mesh=mesh,
+                        in_specs=(P(None, None, "data"),
+                                  P(None, "data"), P(None, "data"),
+                                  P()),
+                        out_specs=(P(None, None, "data"),
+                                   P("data", None), P(None, "data"),
+                                   P("data", None, None)),
+                        check_vma=False)
+
+            if dp_update:
+                import dataclasses as _dc
+
+                import optax
+                from jax.sharding import PartitionSpec as P
+                from jax import shard_map
+
+                n_sh = mesh.size
+                W_l = worlds_per_shard
+                hp_l = _dc.replace(hp, num_envs=W_l)
+                wb_l = hp.update_block or \
+                    FU.pick_update_block(W_l, hp_l.minibatch_size)
+                if W_l % wb_l or hp_l.minibatch_size % wb_l:
+                    raise ValueError(
+                        f"dp_update: update_block={wb_l} must divide "
+                        f"both worlds/shard={W_l} and the local "
+                        f"minibatch={hp_l.minibatch_size}")
+                mbg = FU.make_fused_minibatch_grad_prefetch(
+                    hp_l, FR.ROLL_OBS, T, W_l, wb_l,
+                    interpret=rollout_interpret, traj_dtype=traj_dtype)
+                nblk_l = T * (W_l // wb_l)
+                bpm_l = hp_l.minibatch_size // wb_l
+                n_updates = hp.update_epochs * hp.num_minibatches
+                inv_sh = 1.0 / n_sh
+
+                def _dp_body(perms_l, traj_l, side_l, nrm, ustats,
+                             params, opt_state):
+                    # raw-side normalization once in XLA (the phase
+                    # kernel does this per block; here the side array
+                    # is tiny next to the trajectory)
+                    us = ustats[0]
+                    v_n = jnp.clip(
+                        (side_l[:, FU.SIDE_VALUE] - us[0]) * us[1],
+                        -5.0, 5.0)
+                    a_n = (side_l[:, FU.SIDE_ADV] - us[2]) * us[3]
+                    r_n = jnp.clip(
+                        (side_l[:, FU.SIDE_RET] - us[0]) * us[1],
+                        -5.0, 5.0)
+                    side_n = jnp.concatenate(
+                        [jnp.stack([v_n, a_n, r_n], axis=1),
+                         jnp.zeros((T, FU.SIDE_ROWS - 3, W_l), F32)],
+                        axis=1)
+                    idx_rows = perms_l[0].reshape(n_updates, bpm_l)
+
+                    def mb_body(carry, idx):
+                        params, opt = carry
+                        # local-mean gradient over this shard's slice
+                        # of the minibatch; psum/n -> the exact global
+                        # minibatch mean (equal shard slices)
+                        g4 = mbg(idx, traj_l, side_n, nrm,
+                                 *FU.pack_weights(params, FR.ROLL_OBS))
+                        g4 = [jax.lax.psum(g, "data") * inv_sh
+                              for g in g4]
+                        grads = FU.grads_to_tree(params, *g4,
+                                                 FR.ROLL_OBS)
+                        updates, opt = tx.update(grads, opt, params)
+                        params = optax.apply_updates(params, updates)
+                        return (params, opt), None
+
+                    (params, opt_state), _ = jax.lax.scan(
+                        mb_body, (params, opt_state), idx_rows)
+                    return params, opt_state
+
+                _dp_phase = shard_map(
+                    _dp_body, mesh=mesh,
+                    in_specs=(P("data", None), P(None, None, "data"),
+                              P(None, None, "data"), P(), P(), P(),
+                              P()),
+                    out_specs=(P(), P()),
+                    check_vma=False)
+
+                def update_policy_dp(agent, opt_state, traj, side, key,
+                                     ustats):
+                    """Data-parallel update phase: each shard streams
+                    its LOCAL trajectory blocks through the
+                    scalar-prefetch gradient kernel; the ~28 KB packed
+                    gradient psums per minibatch and clip+Adam (real
+                    optax) runs replicated.  The epoch shuffle is
+                    STRATIFIED: each shard permutes its own blocks, so
+                    every minibatch draws equally from every shard and
+                    no sample crosses a shard (PARITY.md deviation;
+                    reference shuffle: scripts/ppo.py:188).  With one
+                    shard the permutation stream and semantics match
+                    the flagship phase kernel (pinned in
+                    tests/test_parallel.py)."""
+                    nrm = FU.pack_norm(agent.obs_rms, FR.ROLL_OBS)
+                    perms = jnp.argsort(
+                        jax.random.bits(
+                            key, (n_sh, hp.update_epochs, nblk_l),
+                            jnp.uint32),
+                        axis=-1).astype(I32).reshape(n_sh, -1)
+                    params, opt_state = _dp_phase(
+                        perms, traj, side, nrm, ustats, agent.params,
+                        opt_state)
+                    return agent.replace(params=params), opt_state
 
             def update_policy_traj(agent, opt_state, traj, side, key,
                                    ustats=None):
@@ -459,7 +590,7 @@ def make_train_iteration_fused(cfg: SimConfig, hp: PPOParams,
                     episode_lengths=carry_out[1],
                     mean_reward=r_mean, reward_size=r_size,
                     mean_length=l_mean, length_size=l_size)
-                n_per = float(T * gae_kernel.gb)
+                n_per = float(T * gae_gb)
                 vm_b, vv_b, nN = FG.combine_block_moments(
                     moments[:, 0], moments[:, 1], n_per)
                 am_b, av_b, _ = FG.combine_block_moments(
@@ -479,12 +610,27 @@ def make_train_iteration_fused(cfg: SimConfig, hp: PPOParams,
                     ar.reshape(1, 1), jnp.zeros((1, 4), F32)],
                     axis=1).astype(F32)
                 om = rk_om if rk_obs_moments else obs_mom_kernel(traj)
-                obs_rms = rms_update_padded_moments(
-                    agent.obs_rms, om[:, 0], om[:, 1], om[0, 2])
+                if dp_update:
+                    # per-shard moment blocks stacked (n_sh*ROLL_OBS, 8)
+                    # -> one Chan combine across shards per feature
+                    m = om.reshape(mesh.size, FR.ROLL_OBS, 8)
+                    means, m2s, ns = m[:, :, 0], m[:, :, 1], m[:, :, 2]
+                    gmean = means.mean(axis=0)
+                    gm2 = m2s.sum(axis=0) + \
+                        (ns * (means - gmean[None]) ** 2).sum(axis=0)
+                    obs_rms = rms_update_padded_moments(
+                        agent.obs_rms, gmean, gm2, ns.sum(axis=0)[0])
+                else:
+                    obs_rms = rms_update_padded_moments(
+                        agent.obs_rms, om[:, 0], om[:, 1], om[0, 2])
                 agent = agent.replace(obs_rms=obs_rms,
                                       value_rms=value_rms)
-                agent, opt_state = update_policy_traj(
-                    agent, ts.opt_state, traj, side, k_upd, ustats)
+                if dp_update:
+                    agent, opt_state = update_policy_dp(
+                        agent, ts.opt_state, traj, side, k_upd, ustats)
+                else:
+                    agent, opt_state = update_policy_traj(
+                        agent, ts.opt_state, traj, side, k_upd, ustats)
                 adv_n = (side[:, FU.SIDE_ADV, :] - am_b) * ar
                 values_n = jnp.clip(
                     (side[:, FU.SIDE_VALUE, :] - value_rms.mean[0]) *

@@ -197,7 +197,7 @@ def main():
     @stage("attr")
     def _attr():
         import bench_rollout_attr
-        bench_rollout_attr.main()
+        bench_rollout_attr.main(W=8192)
 
     @stage("bf16time")
     def _bf16time():
@@ -267,48 +267,24 @@ def main():
 
     @stage("compile")
     def _compile():
-        # Where does the fresh-process compile bill go?  Timings are
-        # trace (jax lower) vs backend compile, per component, plus the
-        # hypothesis tests: T=1 vs T=32 (the tick loop is a grid dim,
-        # not an unroll) and blk 512 vs 1024.
-        import jax.numpy as jnp
-        from madrona_basketball_tpu.ops import fused_rollout as FR
-
-        hp0, ts0, _ = make(8192, use_frozen=True)
-        mats = FR.pack_policy(ts0.agent) + FR.pack_policy(ts0.frozen)
-        rng = jnp.zeros((1, 2), jnp.int32).at[0, 0].set(7)
-
-        def timed_compile(label, make_jit, args):
-            t0 = time.perf_counter()
-            lowered = make_jit().lower(*args)
-            t_low = time.perf_counter() - t0
-            t0 = time.perf_counter()
-            lowered.compile()
-            t_cmp = time.perf_counter() - t0
-            print(f"[compile] {label:28s} trace={t_low:6.1f}s "
-                  f"backend={t_cmp:6.1f}s", flush=True)
-
-        for label, T_len, blk in (("rollout T=32 blk=1024", 32, 1024),
-                                  ("rollout T=1  blk=1024", 1, 1024),
-                                  ("rollout T=32 blk=512", 32, 512)):
-            def mk(T_len=T_len, blk=blk):
-                rk = FR.make_fused_rollout(cfg, 8192, T_len,
-                                           trainee_idx=1,
-                                           use_frozen=True, block=blk,
-                                           max_block=blk)
-                return jax.jit(
-                    lambda sf, si, obs: rk(rng, sf, si, obs, *mats))
-            timed_compile(label, mk, (ts0.sf, ts0.si, ts0.obs))
-
-        def mk_iter():
-            _, _, ti = make(8192, use_frozen=True)
-            return ti
-        timed_compile("full iteration (gae)", mk_iter, (ts0,))
-
-        def mk_chunk():
-            _, _, ti = make(8192, use_frozen=True)
-            return make_train_chunk(ti, CH)
-        timed_compile("chunk(100 iters)", mk_chunk, (ts0,))
+        # Where does the fresh-process compile bill go?  Each component
+        # is measured in its OWN subprocess: the axon path pays the full
+        # remote compile per process, while in-process rebuilds reuse
+        # executables by HLO hash and read near-zero (the first version
+        # of this stage measured exactly that artifact).
+        import subprocess
+        for comp in ("rollout32", "rollout1", "gae", "update", "iter",
+                     "chunk"):
+            r = subprocess.run(
+                [sys.executable, "bench_compile_fresh.py", comp],
+                capture_output=True, text=True, timeout=3600)
+            for ln in (r.stdout + r.stderr).splitlines():
+                if "[compile-fresh]" in ln:
+                    print(ln, flush=True)
+            if r.returncode != 0:
+                print(f"[compile] {comp} FAILED rc={r.returncode}: "
+                      f"{r.stderr.splitlines()[-1] if r.stderr else ''}",
+                      flush=True)
 
     @stage("headline")
     def _headline():
