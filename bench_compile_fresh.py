@@ -33,6 +33,7 @@ def main():
     from madrona_basketball_tpu.ppo.train import make_train_chunk
     from madrona_basketball_tpu.ppo.train_fused import (
         init_fused_train_state, make_train_iteration_fused)
+    t_import = time.perf_counter() - t_start
 
     cfg = SimConfig()
     net, _ = init_agent(jax.random.PRNGKey(0))
@@ -40,7 +41,10 @@ def main():
     ts = init_fused_train_state(cfg, hp, net, jax.random.PRNGKey(1))
     mats = FR.pack_policy(ts.agent) + FR.pack_policy(ts.frozen)
     rng = jnp.zeros((1, 2), jnp.int32).at[0, 0].set(7)
-    t_setup = time.perf_counter() - t_start
+    # flush any deferred device work from init so it isn't billed to
+    # the component's own first-run column
+    np.asarray(jax.device_get(ts.sf.reshape(-1)[:1]))
+    t_setup = time.perf_counter() - t_start - t_import
 
     if comp in ("rollout32", "rollout1"):
         T = 32 if comp == "rollout32" else 1
@@ -101,10 +105,10 @@ def main():
     leaf = jax.tree_util.tree_leaves(out)[0]
     np.asarray(jax.device_get(leaf.reshape(-1)[:1]))
     t3 = time.perf_counter()
-    print(f"[compile-fresh] {comp:10s} W={W} setup={t_setup:5.1f}s "
-          f"trace={t1 - t0:6.1f}s backend={t2 - t1:6.1f}s "
-          f"first-run+fetch={t3 - t2:6.1f}s total={t3 - t_start:6.1f}s",
-          flush=True)
+    print(f"[compile-fresh] {comp:10s} W={W} import={t_import:5.1f}s "
+          f"init={t_setup:5.1f}s trace={t1 - t0:6.1f}s "
+          f"backend={t2 - t1:6.1f}s first-run+fetch={t3 - t2:6.1f}s "
+          f"total={t3 - t_start:6.1f}s", flush=True)
 
 
 if __name__ == "__main__":
