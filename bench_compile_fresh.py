@@ -35,6 +35,14 @@ def main():
         init_fused_train_state, make_train_iteration_fused)
     t_import = time.perf_counter() - t_start
 
+    # First-touch warmup: ONE trivial compile+execute+fetch.  The axon
+    # tunnel pays a large, highly variable per-process bring-up on the
+    # first real device round-trip; billing it separately keeps the
+    # init column honest.
+    t0 = time.perf_counter()
+    np.asarray(jax.device_get(jnp.ones((8, 128), jnp.float32) * 2.0))
+    t_warm = time.perf_counter() - t0
+
     cfg = SimConfig()
     net, _ = init_agent(jax.random.PRNGKey(0))
     hp = PPOParams(num_envs=W, use_frozen=True)
@@ -44,7 +52,7 @@ def main():
     # flush any deferred device work from init so it isn't billed to
     # the component's own first-run column
     np.asarray(jax.device_get(ts.sf.reshape(-1)[:1]))
-    t_setup = time.perf_counter() - t_start - t_import
+    t_setup = time.perf_counter() - t_start - t_import - t_warm
 
     if comp in ("rollout32", "rollout1"):
         T = 32 if comp == "rollout32" else 1
@@ -71,7 +79,11 @@ def main():
         wb = FU.pick_update_block(W, hp.minibatch_size)
         ufp = FU.make_fused_update_phase(hp, D, T, W, wb, raw_side=True)
         n_blocks = T * (W // wb)
-        idx = jnp.arange(hp.update_epochs * n_blocks, dtype=jnp.int32)
+        # valid block ids are [0, n_blocks) PER EPOCH — a flat arange
+        # over epochs*n_blocks sends the scalar-prefetch DMA out of
+        # bounds (device fault on fetch)
+        idx = jnp.tile(jnp.arange(n_blocks, dtype=jnp.int32),
+                       hp.update_epochs)
         cnt = jnp.zeros((), jnp.int32)
         traj = jnp.zeros((T, FR.ROLL_ROWS, W), jnp.float32)
         side = jnp.zeros((T, FU.SIDE_ROWS, W), jnp.float32)
@@ -106,9 +118,10 @@ def main():
     np.asarray(jax.device_get(leaf.reshape(-1)[:1]))
     t3 = time.perf_counter()
     print(f"[compile-fresh] {comp:10s} W={W} import={t_import:5.1f}s "
-          f"init={t_setup:5.1f}s trace={t1 - t0:6.1f}s "
-          f"backend={t2 - t1:6.1f}s first-run+fetch={t3 - t2:6.1f}s "
-          f"total={t3 - t_start:6.1f}s", flush=True)
+          f"warmup={t_warm:5.1f}s init={t_setup:5.1f}s "
+          f"trace={t1 - t0:6.1f}s backend={t2 - t1:6.1f}s "
+          f"first-run+fetch={t3 - t2:6.1f}s total={t3 - t_start:6.1f}s",
+          flush=True)
 
 
 if __name__ == "__main__":

@@ -282,6 +282,7 @@ def step(cfg: SimConfig, s: State) -> State:
 # Batched (multi-world) API
 # =====================================================================
 
+@functools.partial(jax.jit, static_argnums=(0, 2))
 def init_batch(cfg: SimConfig, key: jax.Array, num_worlds: int) -> State:
     """Create `num_worlds` independent worlds (leading world axis).
 
@@ -289,6 +290,11 @@ def init_batch(cfg: SimConfig, key: jax.Array, num_worlds: int) -> State:
     stream (rand::split_i(key, 0, 0) for all worlds, src/sim.cpp:89) — each
     world gets its own fold-in of the root key so spawns actually vary
     across worlds.
+
+    Jitted (cfg and num_worlds static): eager execution dispatches every
+    primitive separately, which through the axon tunnel costs ~100-200 s
+    per fresh process (bench_logs/r5 compile stage) — one compiled program
+    costs seconds.
     """
     keys = jax.random.split(key, num_worlds)
     return jax.vmap(lambda k: generate_world(cfg, k))(keys)

@@ -16,6 +16,8 @@ boundary (init, export, checkpoint); the hot loop never leaves matrix form.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -84,8 +86,13 @@ N_OBS_ROWS = A * C.OBS_SIZE  # 256
 N_NOISE_ROWS = A * 3 + 3     # 9: shot_u per agent + reset_u
 
 
+@jax.jit
 def pack(state: State):
-    """Batched State (leading world axis) -> (SF, SI)."""
+    """Batched State (leading world axis) -> (SF, SI).
+
+    Jitted: the ~500 per-row slice/astype ops would otherwise dispatch
+    eagerly — through the axon tunnel that is tens of seconds of remote
+    round-trips per fresh process (bench_logs/r5 compile stage)."""
     a, b, g, h = state.agents, state.ball, state.game, state.hoops
     W = a.pos.shape[0]
     sf = [None] * N_F32_ROWS
@@ -184,10 +191,12 @@ def pack(state: State):
     return jnp.stack(sf), jnp.stack(si)
 
 
+@functools.partial(jax.jit, static_argnums=0)
 def unpack(cfg: SimConfig, sf: jax.Array, si: jax.Array, key: jax.Array,
            obs: jax.Array | None = None) -> State:
     """(SF, SI[, OBS]) -> batched State.  Hoop geometry is reconstructed
-    from the config (constant after init)."""
+    from the config (constant after init).  Jitted like `pack` (eager
+    per-row dispatch is prohibitively slow through the axon tunnel)."""
     from ..state import zero_state
 
     W = sf.shape[1]
