@@ -33,6 +33,12 @@ def main():
     from madrona_basketball_tpu.ppo.train import make_train_chunk
     from madrona_basketball_tpu.ppo.train_fused import (
         init_fused_train_state, make_train_iteration_fused)
+    from madrona_basketball_tpu.utils.profiling import enable_compile_cache
+    # every production entry point enables the persistent cache; the
+    # axon remote path bypasses it, but the HOST-side init build
+    # (host_init, train_fused.py) persists — so with this on, the init
+    # column is first-process-only
+    enable_compile_cache()
     t_import = time.perf_counter() - t_start
 
     # First-touch warmup: ONE trivial compile+execute+fetch.  The axon

@@ -647,12 +647,18 @@ def make_fused_update_phase(hp, D: int, T: int, W: int, wb: int,
     return update_fn
 
 
-def pick_update_block(W: int, mb_size: int, cap: int = 2048) -> int:
+def pick_update_block(W: int, mb_size: int, cap: int = 4096) -> int:
     """Largest power-of-two block width <= cap dividing both the world
-    count and the minibatch size (1 always qualifies)."""
+    count and the minibatch size (1 always qualifies).
+
+    cap=4096 since round 5: halving the grid-step count vs wb=2048
+    measures 2.43 vs 2.48 ms/iter chunked at 8192 envs with an
+    equivalent 2000-iteration convergence curve (bench_update_wb.py,
+    bench_logs/r5 ab-wb4096 vs ab-f32); wb=8192 fails backend compile
+    (scoped-VMEM)."""
     import math
     g = math.gcd(W, mb_size)
-    for cand in (2048, 1024, 512, 256, 128, 64, 32, 16, 8, 4, 2, 1):
+    for cand in (4096, 2048, 1024, 512, 256, 128, 64, 32, 16, 8, 4, 2, 1):
         if cand <= cap and g % cand == 0:
             return cand
     raise AssertionError("unreachable: 1 divides every gcd")

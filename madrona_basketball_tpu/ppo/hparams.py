@@ -39,8 +39,8 @@ class PPOParams:
     # permutation deals blocks of `update_block` consecutive worlds at
     # one tick straight from the trajectory buffer — zero shuffle data
     # movement.  0 = auto (largest divisor of the world count and the
-    # minibatch size <= 2048, ops/fused_update.pick_update_block).
-    # Convergence at the default is pinned in BENCHMARKS.md round 3.
+    # minibatch size <= 4096, ops/fused_update.pick_update_block;
+    # 4096 since round 5 — timing + convergence A/B in BENCHMARKS.md).
 
     @property
     def rollout_batch_size(self) -> int:

@@ -56,22 +56,50 @@ class FusedTrainState:
 def init_fused_train_state(cfg: SimConfig, hp: PPOParams, net: ActorCritic,
                            key: jax.Array,
                            agent: Optional[AgentParams] = None,
-                           frozen: Optional[AgentParams] = None
+                           frozen: Optional[AgentParams] = None,
+                           host_init: Optional[bool] = None
                            ) -> FusedTrainState:
-    k_env, k_agent, k_frozen, k_run = jax.random.split(key, 4)
-    if agent is None:
-        _, agent = agent_lib.init_agent(k_agent)
-    if frozen is None:
-        _, frozen = agent_lib.init_agent(k_frozen)
-    env = engine.init_batch(cfg, k_env, hp.num_envs)
-    sf, si = layout.pack(env)
-    tx = make_optimizer(hp)
-    return FusedTrainState(
-        agent=agent, frozen=frozen, opt_state=tx.init(agent.params),
-        sf=sf, si=si,
-        obs=jnp.zeros((layout.N_OBS_ROWS, hp.num_envs), F32),
-        env_keys=env.key, stats=init_stats(hp.num_envs), key=k_run,
-        iteration=jnp.zeros((), I32))
+    """host_init (default: on for non-CPU backends; MBB_DEVICE_INIT=1
+    forces off): build the world-init + pack programs on the HOST CPU
+    backend and transfer the ~5 MB result, instead of remote-compiling
+    them through the axon tunnel — the once-per-process init compile is
+    the dominant code-side term of the fresh-process bill
+    (BENCHMARKS.md round 5: ~41-54 s; the CPU build persists in the
+    local compilation cache, so repeat processes pay ~0).  generate_
+    world is threefry draws + elementwise arithmetic, so the
+    cross-backend numerics seam is at most transcendental-ulp noise in
+    spawn positions."""
+    import os
+
+    def build(agent, frozen):
+        k_env, k_agent, k_frozen, k_run = jax.random.split(key, 4)
+        if agent is None:
+            _, agent = agent_lib.init_agent(k_agent)
+        if frozen is None:
+            _, frozen = agent_lib.init_agent(k_frozen)
+        env = engine.init_batch(cfg, k_env, hp.num_envs)
+        sf, si = layout.pack(env)
+        tx = make_optimizer(hp)
+        return FusedTrainState(
+            agent=agent, frozen=frozen, opt_state=tx.init(agent.params),
+            sf=sf, si=si,
+            obs=jnp.zeros((layout.N_OBS_ROWS, hp.num_envs), F32),
+            env_keys=env.key, stats=init_stats(hp.num_envs), key=k_run,
+            iteration=jnp.zeros((), I32))
+
+    if host_init is None:
+        host_init = (jax.default_backend() != "cpu"
+                     and os.environ.get("MBB_DEVICE_INIT") != "1")
+    if host_init:
+        try:
+            _cpu = jax.devices("cpu")[0]
+        except RuntimeError:
+            host_init = False
+    if not host_init:
+        return build(agent, frozen)
+    with jax.default_device(_cpu):
+        ts = jax.block_until_ready(build(agent, frozen))
+    return jax.device_put(ts, jax.devices()[0])
 
 
 def make_train_iteration_fused(cfg: SimConfig, hp: PPOParams,

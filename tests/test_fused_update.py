@@ -354,7 +354,8 @@ def test_pack_unpack_roundtrip():
 
 
 def test_pick_update_block():
-    assert FU.pick_update_block(8192, 65536) == 2048
+    assert FU.pick_update_block(8192, 65536) == 4096
+    assert FU.pick_update_block(8192, 65536, cap=2048) == 2048
     assert FU.pick_update_block(512, 4096) == 512
     assert FU.pick_update_block(16, 32) == 16
     assert FU.pick_update_block(24, 96) == 8
